@@ -1,0 +1,122 @@
+"""Global configuration for hcspmm_tpu.
+
+The reference hard-codes its tiling in hybrid_kernel/config.h:4-6
+(BLK_H=16, BLK_W=8, WARP_SIZE=32) and mirrors it in config.py:1-3, plus
+kernel-tuning macros (WPB=3, MAX_BLK=3, S_SIZE=62) in
+hybrid_all_kernel.cu:21-26.  Here everything lives in one dataclass; the
+reference values are the defaults where they are semantic (window height,
+column-block width), while TPU-specific knobs (tile_k buckets, group size,
+dtype policy) are chosen for the MXU/VPU instead of WMMA/warps.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+# Semantic constants shared with the reference format (config.h:4-6).
+BLK_H = 16  # row-window height (rows per window)
+BLK_W = 8   # column-block width used for block_partition counting
+
+# TPU hardware model (v5e defaults) used for roofline reporting.
+TPU_HBM_GBPS = 819.0          # v5e HBM bandwidth, GB/s
+TPU_BF16_TFLOPS = 197.0       # v5e MXU bf16 peak, TFLOP/s
+TPU_FP32_TFLOPS = 49.0        # v5e fp32 (VPU-ish) rough peak
+
+
+@dataclasses.dataclass(frozen=True)
+class LOICoefficients:
+    """Logistic selector coefficients.
+
+    The reference's *intended* model (commented-out line,
+    hybrid_all_kernel.cu:261; report §IV-C):
+
+        sparse if  size > max_cols
+               or  w_cols*size + w_density*density + bias > 0
+
+    where ``size`` is the number of unique neighbour columns in the window
+    (the reference's deduplicated count) and ``density`` is
+    nnz / (num_blocks * BLK_H * BLK_W), i.e. occupancy of the allocated
+    column blocks.  Positive score => memory-bound => sparse (gather) path;
+    otherwise the dense (MXU block) path.
+
+    GPU-fitted coefficients are meaningless on TPU; `format.loi.calibrate`
+    refits them from measured timings (report §IV-C procedure).
+    """
+
+    w_cols: float = 0.19854024
+    w_density: float = -6.578043
+    bias: float = -3.14922857
+    max_cols: int = 32
+
+
+@dataclasses.dataclass(frozen=True)
+class PlanConfig:
+    """Configuration of the TPU execution plan (format.plan)."""
+
+    window_h: int = BLK_H
+    # Unique-column tile width for dense (MXU) windows.  Each dense window is
+    # split into ceil(unique_cols / tile_k) tiles of a 16 x tile_k binary
+    # block; the analog of the reference's MAX_BLK 8-wide TC blocks
+    # (hybrid_all_kernel.cu:258-260) sized for MXU/VMEM instead of WMMA.
+    tile_k: int = 32
+    # Dense windows are processed in groups of `group` windows per Pallas
+    # grid step so one step emits group*window_h = 128 output rows
+    # (an fp32-tile-aligned output block).
+    group: int = 8
+    # LOI mode: 'intended' | 'degenerate' | 'calibrated' | 'all_dense'
+    # | 'all_sparse'.  'degenerate' reproduces the reference's live line
+    # (hybrid_all_kernel.cu:262, missing `> 0`) for bit-parity experiments.
+    loi_mode: str = "intended"
+    loi: LOICoefficients = dataclasses.field(default_factory=LOICoefficients)
+    # Compute dtype for gathered features / block matmuls.  fp32 matches the
+    # reference's CUDA-core path; bf16 halves gather bandwidth (the TPU
+    # bottleneck) at TF32-class tolerance (report Table VII ran half/bf16).
+    compute_dtype: str = "float32"
+    # Kernel implementation: 'xla' (gather + einsum + segment_sum under jit)
+    # or 'pallas' (hand-written kernels from hcspmm_tpu.kernels).
+    impl: str = "xla"
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Mirrors the reference CLI flag surface (HC-SpMM_main.py:18-27)."""
+
+    dataset: str = "example"
+    dim: int = 96
+    num_layers: int = 6
+    hidden: int = 32
+    classes: int = 22
+    epochs: int = 200
+    model: str = "gcn"  # 'gcn' | 'gin'
+    single_kernel: bool = False
+    lr: float = 0.01
+    seed: int = 0
+    dropout: float = 0.5
+    # Reference aggregation is an unweighted neighbour sum (binary adjacency,
+    # degrees computed then dropped — dataset.py:106-107).  normalize=True is
+    # the extension flag for symmetric-normalized GCN aggregation.
+    normalize: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Multi-chip layout (net-new vs the single-GPU reference)."""
+
+    axis_name: str = "x"
+    num_shards: int = 1
+    # 'allgather' replicates X per step; 'halo' exchanges only the remote
+    # rows each shard's windows actually reference.
+    halo_mode: str = "allgather"
+
+
+@dataclasses.dataclass(frozen=True)
+class HCSpMMConfig:
+    plan: PlanConfig = dataclasses.field(default_factory=PlanConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+
+
+def degree_clamp(x: int) -> int:
+    """Reference config.py:5-9 `func`: clamp degree to >= 1."""
+    return x if x > 0 else 1

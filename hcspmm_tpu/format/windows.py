@@ -1,0 +1,132 @@
+"""Row-window analysis: the host-side equivalent of the reference's GPU
+``preprocess`` (hybrid_all_kernel.cu:339-408).
+
+The reference builds, on-GPU with thrust + three kernels:
+  1. ``edgeToRow``  — eid -> owning row            (.cu:314-337)
+  2. ``fill_segment`` + zip-sort — sorts each window's neighbour ids
+     (.cu:289-313, :386-399)
+  3. ``generate_edgetocolumn`` — per-window unique-column dedup, block
+     counts, LOI hybrid type, eid -> compressed column (.cu:242-288)
+
+Here the whole pipeline is vectorized NumPy on the host (it runs once per
+graph and feeds static-shaped device arrays, so there is nothing for the
+TPU to do); the per-window dedup that the reference runs single-threaded
+per block is a single ``np.unique`` over (window, col) keys.
+
+Semantics preserved:
+- window height BLK_H = 16;
+- ``block_partition[w] = ceil(unique_cols / BLK_W)`` — note the reference's
+  expression ``(size + 8) / 8`` operates on ``size = unique - 1`` (its
+  dedup routine counts transitions, .cu:213-223), so it equals the true
+  ceiling; we compute the ceiling directly;
+- ``edge_to_column[eid]`` is the index of the edge's neighbour in the
+  window's sorted unique-column list (.cu:264-268);
+- ``hybrid_type[w]`` from the LOI selector (see format.loi).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from hcspmm_tpu.config import BLK_H, BLK_W, LOICoefficients
+from hcspmm_tpu.format import loi
+
+
+@dataclasses.dataclass
+class WindowAnalysis:
+    """Everything the execution planner and parity checks need."""
+
+    num_nodes: int
+    num_windows: int
+    window_h: int
+
+    # Per-edge (CSR order) arrays — reference parity surface.
+    edge_to_row: np.ndarray      # int32 [nnz]: eid -> global row
+    edge_to_window: np.ndarray   # int32 [nnz]: eid -> window id
+    edge_to_column: np.ndarray   # int32 [nnz]: eid -> window-local unique-col index
+
+    # Per-window arrays.
+    window_edge_ptr: np.ndarray  # int32 [W+1]: CSR-style edge ranges per window
+    unique_counts: np.ndarray    # int32 [W]: # unique neighbour columns
+    edge_counts: np.ndarray      # int32 [W]: # edges (nnz) in window
+    block_partition: np.ndarray  # int32 [W]: ceil(unique/BLK_W)
+    hybrid_type: np.ndarray      # int32 [W]: 0 = sparse/gather path, 1 = dense/MXU path
+
+    # Flat sorted-unique columns per window, CSR-indexed by unique_ptr.
+    unique_cols: np.ndarray      # int32 [sum(unique_counts)]
+    unique_ptr: np.ndarray       # int64 [W+1]
+
+    @property
+    def total_blocks(self) -> int:
+        """Reference's ``blocknum`` atomic total (.cu:259)."""
+        return int(self.block_partition.sum())
+
+
+def analyze_windows(
+    row_pointers: np.ndarray,
+    column_index: np.ndarray,
+    num_nodes: int,
+    window_h: int = BLK_H,
+    block_w: int = BLK_W,
+    loi_mode: str = "intended",
+    loi_coeffs: LOICoefficients | None = None,
+) -> WindowAnalysis:
+    row_pointers = np.asarray(row_pointers, dtype=np.int64)
+    column_index = np.asarray(column_index, dtype=np.int64)
+    nnz = int(row_pointers[-1])
+    num_windows = (num_nodes + window_h - 1) // window_h
+
+    degrees = np.diff(row_pointers)
+    edge_to_row = np.repeat(np.arange(num_nodes, dtype=np.int64), degrees)
+    edge_to_window = edge_to_row // window_h
+
+    # Window edge ranges: windows cover contiguous row ranges, so the edge
+    # range of window w is [row_ptr[16w], row_ptr[min(16w+16, N)]).
+    starts = row_pointers[np.minimum(np.arange(num_windows) * window_h, num_nodes)]
+    ends = row_pointers[np.minimum(np.arange(num_windows) * window_h + window_h, num_nodes)]
+    window_edge_ptr = np.concatenate([starts, ends[-1:]])
+
+    # Per-window unique neighbour columns.  Key = window * N + col is unique
+    # per (window, col) pair; np.unique gives the sorted flat unique list and
+    # the inverse map, exactly the dedup + binary-search of .cu:242-268.
+    keys = edge_to_window * np.int64(num_nodes) + column_index
+    unique_keys, inverse = np.unique(keys, return_inverse=True)
+    unique_windows = unique_keys // num_nodes
+    unique_cols = (unique_keys % num_nodes).astype(np.int32)
+    unique_counts = np.bincount(unique_windows, minlength=num_windows).astype(np.int32)
+    unique_ptr = np.zeros(num_windows + 1, dtype=np.int64)
+    np.cumsum(unique_counts, out=unique_ptr[1:])
+
+    # Window-local compressed column index per edge.
+    edge_to_column = (inverse - unique_ptr[edge_to_window]).astype(np.int32)
+
+    edge_counts = (ends - starts).astype(np.int32)
+    block_partition = ((unique_counts + block_w - 1) // block_w).astype(np.int32)
+
+    hybrid_type = loi.decide_hybrid_type(
+        unique_counts=unique_counts,
+        edge_counts=edge_counts,
+        block_partition=block_partition,
+        mode=loi_mode,
+        coeffs=loi_coeffs or LOICoefficients(),
+        window_h=window_h,
+        block_w=block_w,
+    )
+
+    return WindowAnalysis(
+        num_nodes=num_nodes,
+        num_windows=num_windows,
+        window_h=window_h,
+        edge_to_row=edge_to_row.astype(np.int32),
+        edge_to_window=edge_to_window.astype(np.int32),
+        edge_to_column=edge_to_column,
+        window_edge_ptr=window_edge_ptr.astype(np.int64),
+        unique_counts=unique_counts,
+        edge_counts=edge_counts,
+        block_partition=block_partition,
+        hybrid_type=hybrid_type,
+        unique_cols=unique_cols,
+        unique_ptr=unique_ptr,
+    )

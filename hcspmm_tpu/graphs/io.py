@@ -1,0 +1,107 @@
+"""Graph edge-list IO and CSR building.
+
+Behavioural parity with the reference loader (dataset.py:43-107):
+
+- text files are one edge per line, ``"dst,src"``, **1-indexed**
+  (dataset.py:52-53 swaps and subtracts 1);
+- ``num_nodes`` is ``max(node id) + 1`` over both endpoints;
+- ``.npz`` files carry ``src_li``, ``dst_li``, ``num_nodes``
+  (dataset.py:73-79);
+- CSR is built from COO with all-ones values via scipy
+  (dataset.py:93-103), which implicitly merges duplicate edges;
+- the adjacency is **binary** and the kernels use no value array.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+import scipy.sparse as sp
+
+
+def load_edges_txt(path: str) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Load a ``"dst,src"`` 1-indexed edge list. Returns (src, dst, num_nodes)."""
+    raw = np.loadtxt(path, delimiter=",", dtype=np.int64, ndmin=2)
+    if raw.shape[1] != 2:
+        raise ValueError(f"expected two comma-separated columns in {path}")
+    dst = raw[:, 0] - 1
+    src = raw[:, 1] - 1
+    num_nodes = int(max(src.max(), dst.max())) + 1
+    return src.astype(np.int32), dst.astype(np.int32), num_nodes
+
+
+def load_edges_npz(path: str) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Load the reference ``.npz`` layout: src_li / dst_li / num_nodes."""
+    if not path.endswith(".npz"):
+        raise ValueError("graph file must be a .npz file")
+    obj = np.load(path)
+    src = np.asarray(obj["src_li"], dtype=np.int32)
+    dst = np.asarray(obj["dst_li"], dtype=np.int32)
+    num_nodes = int(obj["num_nodes"])
+    return src, dst, num_nodes
+
+
+def save_edges_npz(path: str, src: np.ndarray, dst: np.ndarray, num_nodes: int) -> None:
+    np.savez(path, src_li=src, dst_li=dst, num_nodes=num_nodes)
+
+
+def to_csr(
+    src: np.ndarray, dst: np.ndarray, num_nodes: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Build CSR over rows=src, cols=dst with duplicate edges merged.
+
+    Matches dataset.py:93-103 (coo with val=1 -> tocsr; the kernels never
+    read values, so duplicate merging only removes repeat accumulation).
+    Returns (row_pointers int32 [N+1], column_index int32 [nnz]).
+    """
+    coo = sp.coo_matrix(
+        (np.ones(len(src), dtype=np.int8), (src, dst)),
+        shape=(num_nodes, num_nodes),
+    )
+    csr = coo.tocsr()
+    csr.sum_duplicates()
+    return csr.indptr.astype(np.int32), csr.indices.astype(np.int32)
+
+
+def synthetic_graph(
+    num_nodes: int,
+    avg_degree: float,
+    seed: int = 0,
+    locality: float = 0.7,
+    span: int = 2048,
+    hub_fraction: float = 0.001,
+    symmetric: bool = True,
+) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Deterministic synthetic graph with real-graph-like structure.
+
+    The bundled example dataset (Dataset.zip) is a missing large blob in the
+    reference snapshot, so benchmarks regenerate a stand-in: a mix of
+    local edges (neighbours within ``span``, giving windows dense unique-column
+    structure like reordered real graphs) and global edges, plus a few hubs
+    (power-law-ish tail).  ``symmetric=True`` mirrors edges, matching the
+    reference's implicit assumption that backward can reuse untransposed A
+    (GNN_model.py:49-57).
+    """
+    rng = np.random.RandomState(seed)
+    num_edges = int(num_nodes * avg_degree) // (2 if symmetric else 1)
+
+    n_local = int(num_edges * locality)
+    n_global = num_edges - n_local
+
+    src_l = rng.randint(0, num_nodes, size=n_local)
+    offs = rng.randint(1, max(2, span), size=n_local)
+    dst_l = (src_l + offs) % num_nodes
+
+    src_g = rng.randint(0, num_nodes, size=n_global)
+    num_hubs = max(1, int(num_nodes * hub_fraction))
+    hubs = rng.randint(0, num_nodes, size=num_hubs)
+    dst_g = hubs[rng.randint(0, num_hubs, size=n_global)]
+
+    src = np.concatenate([src_l, src_g])
+    dst = np.concatenate([dst_l, dst_g])
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    if symmetric:
+        src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
+    return src.astype(np.int32), dst.astype(np.int32), num_nodes

@@ -1,0 +1,196 @@
+"""Differentiable hybrid SpMM: ``Z = A @ X`` for a binary adjacency A.
+
+This is the TPU equivalent of the reference kernel family
+``spmm_forward_cuda_kernel_arbi_warps_hybrid_*`` (hybrid_all_kernel.cu:919-2770)
+plus the autograd wiring of GNN_model.py:26-233:
+
+- forward and backward aggregation are the *same* operator; the reference
+  binds ``backward_*`` to the same launchers (hybrid_all.cpp:516-523) and
+  reuses untransposed A in backward, which is exact only for symmetric
+  graph structure (GNN_model.py:49-57).  ``make_spmm`` mirrors that by
+  default and accepts an explicit transposed plan for the safe mode the
+  reference lacks.
+- aggregation is an unweighted neighbour sum (binary A; no value array
+  anywhere in the reference kernels).
+
+Implementations:
+- ``impl='xla'``   : gather + batched matmul + sorted segment-sums under
+  jit.  XLA fuses the element-wise work; the MXU handles the tile matmuls.
+- ``impl='pallas'``: hand-written kernels (hcspmm_tpu.kernels) for the
+  dense block path; falls back to XLA for the sparse residual.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hcspmm_tpu.config import PlanConfig
+from hcspmm_tpu.format.plan import ExecutionPlan, build_plan, transpose_csr
+
+
+def _dtype(name: str):
+    return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[name]
+
+
+def _dense_path_xla(arrs, xp, num_dense: int, window_h: int, compute_dtype):
+    """Block-dense MXU path: per-tile gather + batched matmul + segment-sum.
+
+    Equivalent of the WMMA path (.cu:1385-1472): ``tile_a`` plays
+    ``sparse_A``, ``tile_cols`` plays ``sparse_AToX_index``.
+
+    Precision: with fp32 compute we force HIGHEST so the MXU does true-fp32
+    (multi-pass) accumulation — the TPU default bf16 pass would be *looser*
+    than the reference's TF32 (SURVEY.md §7 hard part #6).  With bf16
+    compute the single-pass MXU path is used (reference Table VII ran
+    half/bf16 at the same quality).
+    """
+    d = xp.shape[1]
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if compute_dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    xg = jnp.take(xp, arrs["tile_cols"], axis=0)          # [T, K, D] gather
+    a = arrs["tile_a"].astype(compute_dtype)               # [T, wh, K]
+    part = jax.lax.dot_general(
+        a,
+        xg.astype(compute_dtype),
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )                                                      # [T, wh, D] fp32
+    out = jax.ops.segment_sum(
+        part,
+        arrs["tile_seg"],
+        num_segments=num_dense + 1,
+        indices_are_sorted=True,
+    )[:num_dense]                                          # [Wd, wh, D]
+    return out.reshape(num_dense * window_h, d)
+
+
+def _sparse_path_xla(arrs, xp, num_sparse_rows: int, compute_dtype):
+    """Gather + sorted segment-sum: the CUDA-core warp-per-row equivalent
+    (.cu:964-1036) expressed as an edge-parallel reduction."""
+    xe = jnp.take(xp, arrs["sparse_edge_col"], axis=0)     # [Es, D]
+    out = jax.ops.segment_sum(
+        xe.astype(jnp.float32),
+        arrs["sparse_edge_seg"],
+        num_segments=num_sparse_rows + 1,
+        indices_are_sorted=True,
+    )[:num_sparse_rows]
+    return out
+
+
+def _spmm_xla(arrs, x, *, num_dense, window_h, num_sparse_rows, compute_dtype):
+    n, d = x.shape
+    xp = jnp.concatenate([x, jnp.zeros((1, d), x.dtype)])  # dummy zero row at N
+    xp = xp.astype(compute_dtype)
+    dense_flat = _dense_path_xla(arrs, xp, num_dense, window_h, compute_dtype)
+    sparse_out = _sparse_path_xla(arrs, xp, num_sparse_rows, compute_dtype)
+    allrows = jnp.concatenate(
+        [dense_flat, sparse_out, jnp.zeros((1, d), dense_flat.dtype)]
+    )
+    return jnp.take(allrows, arrs["out_perm"], axis=0).astype(x.dtype)
+
+
+def make_spmm(
+    plan: ExecutionPlan,
+    plan_bwd: Optional[ExecutionPlan] = None,
+    compute_dtype: str = "float32",
+    impl: str = "xla",
+) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Build a differentiable ``spmm(X) -> A @ X`` closure for one graph.
+
+    ``plan_bwd=None`` reuses the forward plan in the VJP (the reference's
+    symmetric-structure assumption); pass a plan built on A^T for exactness
+    on directed graphs.
+    """
+    cd = _dtype(compute_dtype)
+    arrs_f = {k: jnp.asarray(v) for k, v in plan.device_arrays().items()}
+    if plan_bwd is None:
+        arrs_b, pb = arrs_f, plan
+    else:
+        arrs_b = {k: jnp.asarray(v) for k, v in plan_bwd.device_arrays().items()}
+        pb = plan_bwd
+
+    if impl == "pallas":
+        from hcspmm_tpu.kernels.block_spmm import spmm_pallas
+
+        def fwd_impl(x):
+            return spmm_pallas(arrs_f, x, plan, cd)
+
+        def bwd_impl(g):
+            return spmm_pallas(arrs_b, g, pb, cd)
+    elif impl == "xla":
+        fwd_impl = functools.partial(
+            _spmm_xla, arrs_f,
+            num_dense=plan.num_dense_windows, window_h=plan.window_h,
+            num_sparse_rows=plan.num_sparse_rows, compute_dtype=cd,
+        )
+        bwd_impl = functools.partial(
+            _spmm_xla, arrs_b,
+            num_dense=pb.num_dense_windows, window_h=pb.window_h,
+            num_sparse_rows=pb.num_sparse_rows, compute_dtype=cd,
+        )
+    else:
+        raise ValueError(f"unknown impl: {impl}")
+
+    @jax.custom_vjp
+    def spmm(x):
+        return fwd_impl(x)
+
+    def spmm_fwd(x):
+        return fwd_impl(x), None
+
+    def spmm_bwd(_, g):
+        return (bwd_impl(g),)
+
+    spmm.defvjp(spmm_fwd, spmm_bwd)
+    return spmm
+
+
+class HybridSpMM:
+    """Convenience wrapper: CSR graph -> plan(s) -> differentiable operator.
+
+    The analog of the reference flow ``HYGNN.preprocess(...)`` +
+    ``HCSPMM.forward*`` (HC-SpMM_main.py:52, GNN_model.py), collapsed into
+    one object: construction runs preprocessing, ``__call__`` aggregates.
+    """
+
+    def __init__(
+        self,
+        row_pointers: np.ndarray,
+        column_index: np.ndarray,
+        num_nodes: int,
+        config: PlanConfig = PlanConfig(),
+        symmetric: bool = True,
+    ):
+        self.config = config
+        self.plan = build_plan(row_pointers, column_index, num_nodes, config)
+        if symmetric:
+            self.plan_bwd = None
+        else:
+            rp_t, ci_t = transpose_csr(row_pointers, column_index, num_nodes)
+            self.plan_bwd = build_plan(rp_t, ci_t, num_nodes, config)
+        self._fn = make_spmm(
+            self.plan, self.plan_bwd,
+            compute_dtype=config.compute_dtype, impl=config.impl,
+        )
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return self._fn(x)
+
+
+def spmm_reference_dense(row_pointers, column_index, num_nodes, x):
+    """NumPy dense oracle ``A @ X`` for tests (binary, unweighted sum)."""
+    a = np.zeros((num_nodes, num_nodes), dtype=np.float64)
+    rp = np.asarray(row_pointers)
+    ci = np.asarray(column_index)
+    for r in range(num_nodes):
+        a[r, ci[rp[r]: rp[r + 1]]] = 1.0
+    return a @ np.asarray(x, dtype=np.float64)

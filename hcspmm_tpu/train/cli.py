@@ -1,0 +1,122 @@
+"""CLI — the experiment driver (reference: HC-SpMM_main.py:18-64).
+
+Same flag surface: --dataset --dim --num_layers --hidden --classes
+--epochs --model {gcn,gin} --single_kernel, plus TPU-native extensions
+(--loi-mode, --impl, --compute-dtype, --shards, --checkpoint).
+
+Dataset resolution: a path ending in .txt/.npz loads that file
+("dst,src" 1-indexed text per dataset.py:52-53); the name 'example' (or
+any unresolvable name) regenerates the deterministic synthetic stand-in
+for the reference's missing Dataset.zip blob.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+from hcspmm_tpu.config import PlanConfig
+from hcspmm_tpu.graphs.dataset import GraphDataset
+from hcspmm_tpu.models.net import Net
+from hcspmm_tpu.models.sag import SAG
+from hcspmm_tpu.ops.spmm import HybridSpMM
+from hcspmm_tpu.train.loop import train
+from hcspmm_tpu.utils.logging import stdout_logger
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="hcspmm_tpu experiment driver")
+    p.add_argument("--dataset", type=str, default="example", help="dataset")
+    p.add_argument("--dim", type=int, default=96, help="input embedding dimension")
+    p.add_argument("--num_layers", type=int, default=6, help="num layers")
+    p.add_argument("--hidden", type=int, default=32, help="hidden dimension")
+    p.add_argument("--classes", type=int, default=22, help="number of output classes")
+    p.add_argument("--epochs", type=int, default=200, help="number of epoches")
+    p.add_argument("--model", type=str, default="gcn", choices=["gcn", "gin"])
+    p.add_argument("--single_kernel", action="store_true",
+                   help="whether to profile a single SAG kernel")
+    # TPU-native extensions
+    p.add_argument("--loi-mode", type=str, default="intended",
+                   choices=["intended", "degenerate", "calibrated",
+                            "all_dense", "all_sparse"])
+    p.add_argument("--impl", type=str, default="xla", choices=["xla", "pallas"])
+    p.add_argument("--compute-dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--tile-k", type=int, default=32)
+    p.add_argument("--synthetic-nodes", type=int, default=65536)
+    p.add_argument("--synthetic-degree", type=float, default=8.0)
+    p.add_argument("--checkpoint", type=str, default="")
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def load_dataset(args) -> GraphDataset:
+    name = args.dataset
+    if name.endswith(".txt") and os.path.exists(name):
+        return GraphDataset.from_txt(name, args.dim, args.classes, args.seed)
+    if name.endswith(".npz") and os.path.exists(name):
+        return GraphDataset.from_npz(name, args.dim, args.classes, args.seed)
+    candidate = os.path.join("Dataset", name + ".txt")
+    if os.path.exists(candidate):
+        return GraphDataset.from_txt(candidate, args.dim, args.classes, args.seed)
+    return GraphDataset.synthetic(
+        args.synthetic_nodes, args.synthetic_degree,
+        args.dim, args.classes, seed=args.seed,
+    )
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    print(args)
+    logger = stdout_logger(dataset=args.dataset, model=args.model)
+
+    ds = load_dataset(args)
+    cfg = PlanConfig(
+        tile_k=args.tile_k,
+        loi_mode=getattr(args, "loi_mode"),
+        compute_dtype=getattr(args, "compute_dtype"),
+        impl=args.impl,
+    )
+
+    start = time.perf_counter()
+    op = HybridSpMM(ds.row_pointers, ds.column_index, ds.num_nodes, cfg)
+    prep_ms = (time.perf_counter() - start) * 1e3
+    print("Prep. (ms):\t{:.3f}".format(prep_ms))
+    logger.log(
+        event="preprocess", prep_ms=prep_ms,
+        num_nodes=ds.num_nodes, nnz=ds.nnz,
+        dense_windows=op.plan.num_dense_windows,
+        sparse_rows=op.plan.num_sparse_rows,
+    )
+
+    if args.single_kernel:
+        sag = SAG(op)
+        res = sag.profile(ds.x)
+        logger.log(event="sag", avg_ms=res["avg_ms"],
+                   gnnz_per_s=ds.nnz / (res["avg_ms"] * 1e-3) / 1e9)
+        return 0
+
+    net = Net(
+        model=args.model,
+        num_features=ds.num_features,
+        hidden=args.hidden,
+        num_classes=args.classes,
+        num_layers=args.num_layers,
+    )
+    res = train(net, op, ds.x, ds.y, epochs=args.epochs,
+                seed=args.seed, logger=logger)
+    logger.log(event="done", epoch_ms=res["epoch_ms"], final_loss=res["final_loss"])
+
+    if args.checkpoint:
+        from hcspmm_tpu.utils.checkpoint import save_pytree
+        save_pytree(args.checkpoint, res["params"],
+                    {"model": args.model, "epochs": args.epochs})
+        print(f"checkpoint saved to {args.checkpoint}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,103 @@
+"""Window analyzer vs a brute-force scipy/NumPy oracle (SURVEY.md §4.1)."""
+
+import numpy as np
+import pytest
+
+from hcspmm_tpu.config import BLK_H, BLK_W
+from hcspmm_tpu.format.windows import analyze_windows
+from hcspmm_tpu.format.plan import build_plan, transpose_csr
+from hcspmm_tpu.config import PlanConfig
+from hcspmm_tpu.graphs import io
+
+from conftest import small_graph
+
+
+def brute_force_windows(rp, ci, n, wh=BLK_H):
+    """Oracle: per-window unique cols via python sets."""
+    num_w = (n + wh - 1) // wh
+    uniq, counts = [], []
+    for w in range(num_w):
+        lo, hi = w * wh, min(w * wh + wh, n)
+        cols = sorted(set(int(c) for r in range(lo, hi)
+                          for c in ci[rp[r]: rp[r + 1]]))
+        uniq.append(cols)
+        counts.append(int(rp[hi] - rp[lo]))
+    return uniq, counts
+
+
+@pytest.mark.parametrize("n,deg,span", [(100, 6, 16), (37, 3, 8), (16, 1, 4),
+                                        (130, 20, 2048), (257, 5, 64)])
+def test_analysis_matches_oracle(n, deg, span):
+    rp, ci, nn = small_graph(n, deg, span=span)
+    wa = analyze_windows(rp, ci, nn)
+    uniq, counts = brute_force_windows(rp, ci, nn)
+
+    assert wa.num_windows == (nn + BLK_H - 1) // BLK_H
+    for w in range(wa.num_windows):
+        got = wa.unique_cols[wa.unique_ptr[w]: wa.unique_ptr[w + 1]].tolist()
+        assert got == uniq[w], f"window {w}"
+        assert wa.unique_counts[w] == len(uniq[w])
+        assert wa.edge_counts[w] == counts[w]
+        expected_blocks = (len(uniq[w]) + BLK_W - 1) // BLK_W
+        assert wa.block_partition[w] == expected_blocks
+
+    # edge_to_column: the compressed index must map back to the same column.
+    for eid in range(len(ci)):
+        w = wa.edge_to_window[eid]
+        local = wa.edge_to_column[eid]
+        assert uniq[w][local] == ci[eid]
+
+    # edge_to_row round-trip against CSR.
+    deg_arr = np.diff(rp)
+    assert np.array_equal(wa.edge_to_row, np.repeat(np.arange(nn), deg_arr))
+
+
+def test_empty_windows_and_partial_tail():
+    # Node 0 -> 40 only: windows 1 is empty, window 2 partial (n=41).
+    src = np.array([0], dtype=np.int32)
+    dst = np.array([40], dtype=np.int32)
+    rp, ci = io.to_csr(src, dst, 41)
+    wa = analyze_windows(rp, ci, 41)
+    assert wa.num_windows == 3
+    assert wa.edge_counts.tolist() == [1, 0, 0]
+    assert wa.unique_counts.tolist() == [1, 0, 0]
+    assert wa.hybrid_type[1] == 0  # empty -> sparse encoding 0
+
+
+def test_plan_shapes_and_padding():
+    rp, ci, nn = small_graph(100, 6)
+    cfg = PlanConfig(loi_mode="all_dense", tile_k=8)
+    plan = build_plan(rp, ci, nn, cfg)
+    assert plan.num_tiles % cfg.group == 0
+    assert plan.tile_cols.shape == (plan.num_tiles, 8)
+    assert plan.tile_a.shape == (plan.num_tiles, 16, 8)
+    # padded column entries point at the dummy zero row
+    pad_mask = plan.tile_cols == nn
+    assert (plan.tile_a[~np.repeat(pad_mask[:, None, :], 16, 1)] >= 0).all()
+    # every real column id is < num_nodes
+    assert plan.tile_cols.max() <= nn
+    # A-tile nnz matches graph nnz on the dense path
+    assert int(plan.tile_a.sum()) == plan.dense_nnz == len(ci)
+
+
+def test_plan_merge_covers_all_rows():
+    rp, ci, nn = small_graph(77, 4)
+    plan = build_plan(rp, ci, nn, PlanConfig(loi_mode="intended"))
+    assert plan.out_perm.shape == (nn,)
+    limit = plan.num_dense_windows * plan.window_h + plan.num_sparse_rows + 1
+    assert plan.out_perm.max() < limit
+    # rows of nonempty windows map to unique slots
+    nonzero = plan.out_perm[plan.out_perm != limit - 1]
+    assert len(np.unique(nonzero)) == len(nonzero)
+
+
+def test_transpose_csr():
+    rp, ci, nn = small_graph(50, 5, symmetric=False)
+    rpt, cit = transpose_csr(rp, ci, nn)
+    a = np.zeros((nn, nn))
+    for r in range(nn):
+        a[r, ci[rp[r]: rp[r + 1]]] = 1
+    at = np.zeros((nn, nn))
+    for r in range(nn):
+        at[r, cit[rpt[r]: rpt[r + 1]]] = 1
+    assert np.array_equal(a.T, at)

@@ -1,0 +1,114 @@
+"""Hybrid SpMM vs dense oracle — adversarial shapes per SURVEY.md §4.1:
+empty windows, windows with many unique cols (> tile_k), N not divisible
+by 16, dims not in {32, 64}, asymmetric graphs with transposed backward.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hcspmm_tpu.config import PlanConfig
+from hcspmm_tpu.graphs import io
+from hcspmm_tpu.ops.spmm import HybridSpMM, spmm_reference_dense
+
+from conftest import small_graph
+
+
+def check(rp, ci, nn, dim, cfg=PlanConfig(), tol=1e-5, seed=0):
+    rng = np.random.RandomState(seed)
+    x = rng.randn(nn, dim).astype(np.float32)
+    op = HybridSpMM(rp, ci, nn, cfg)
+    z = np.asarray(jax.jit(op)(x))
+    zref = spmm_reference_dense(rp, ci, nn, x)
+    scale = np.abs(zref).max() + 1e-9
+    err = np.abs(z - zref).max() / scale
+    assert err < tol, f"rel err {err}"
+    return op
+
+
+@pytest.mark.parametrize("mode", ["intended", "all_dense", "all_sparse", "degenerate"])
+@pytest.mark.parametrize("dim", [7, 32, 96])
+def test_spmm_modes_dims(mode, dim):
+    rp, ci, nn = small_graph(100, 6)
+    check(rp, ci, nn, dim, PlanConfig(loi_mode=mode))
+
+
+def test_unaligned_num_nodes():
+    rp, ci, nn = small_graph(37, 3, span=8)   # N % 16 != 0
+    check(rp, ci, nn, 5)
+
+
+def test_wide_window_overflows_tile_k():
+    """A hub row with degree >> tile_k forces multi-tile windows — the case
+    that silently overflows the reference's MAX_BLK=3/S_SIZE=62 smem caps."""
+    n = 48
+    src = np.concatenate([np.zeros(40, np.int32), np.array([17], np.int32)])
+    dst = np.concatenate([np.arange(1, 41, dtype=np.int32), np.array([3], np.int32)])
+    src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
+    rp, ci = io.to_csr(src, dst, n)
+    op = check(rp, ci, n, 9, PlanConfig(loi_mode="all_dense", tile_k=8))
+    assert (op.plan.tile_seg[: op.plan.num_tiles] ==
+            np.sort(op.plan.tile_seg[: op.plan.num_tiles])).all()
+
+
+def test_empty_graph_rows():
+    # many isolated nodes
+    src = np.array([0, 5], dtype=np.int32)
+    dst = np.array([5, 0], dtype=np.int32)
+    rp, ci = io.to_csr(src, dst, 100)
+    check(rp, ci, 100, 4)
+
+
+def test_self_loops_and_duplicates():
+    src = np.array([0, 0, 1, 1, 1], dtype=np.int32)
+    dst = np.array([0, 1, 0, 0, 2], dtype=np.int32)  # duplicate (1,0)
+    rp, ci = io.to_csr(src, dst, 20)
+    check(rp, ci, 20, 3)  # duplicates merged => binary A
+
+
+def test_bf16_tolerance():
+    rp, ci, nn = small_graph(128, 8)
+    check(rp, ci, nn, 32, PlanConfig(compute_dtype="bfloat16"), tol=2e-2)
+
+
+def test_asymmetric_backward_transposed():
+    """Safe mode: on a directed graph, grad must flow through A^T."""
+    rp, ci, nn = small_graph(60, 4, symmetric=False)
+    rng = np.random.RandomState(0)
+    x = rng.randn(nn, 6).astype(np.float32)
+
+    op = HybridSpMM(rp, ci, nn, symmetric=False)
+    g = jax.grad(lambda x: (op(x) ** 2).sum())(x)
+
+    a = np.zeros((nn, nn))
+    for r in range(nn):
+        a[r, ci[rp[r]: rp[r + 1]]] = 1
+    gref = 2 * a.T @ (a @ x)
+    err = np.abs(np.asarray(g) - gref).max() / (np.abs(gref).max() + 1e-9)
+    assert err < 1e-5, err
+
+
+def test_symmetric_backward_matches_reference_semantics():
+    """Default mode reuses untransposed A (GNN_model.py:49-57)."""
+    rp, ci, nn = small_graph(60, 4, symmetric=True)
+    rng = np.random.RandomState(0)
+    x = rng.randn(nn, 6).astype(np.float32)
+    op = HybridSpMM(rp, ci, nn)
+    g = jax.grad(lambda x: (op(x) ** 2).sum())(x)
+    a = np.zeros((nn, nn))
+    for r in range(nn):
+        a[r, ci[rp[r]: rp[r + 1]]] = 1
+    gref = 2 * a @ (a @ x)  # symmetric: A == A^T
+    err = np.abs(np.asarray(g) - gref).max() / (np.abs(gref).max() + 1e-9)
+    assert err < 1e-5, err
+
+
+def test_jit_recompile_free_across_calls():
+    rp, ci, nn = small_graph(64, 4)
+    op = HybridSpMM(rp, ci, nn)
+    f = jax.jit(op)
+    x = np.random.RandomState(0).randn(nn, 8).astype(np.float32)
+    z1 = f(x)
+    z2 = f(x + 1)
+    assert z1.shape == z2.shape == (nn, 8)
