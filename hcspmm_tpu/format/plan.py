@@ -56,7 +56,8 @@ class ExecutionPlan:
     implementations append one zero row to X, so padded gathers read zeros.
     """
 
-    num_nodes: int
+    num_nodes: int              # rows of this operand (= global N when square)
+    num_cols: int               # column space; num_cols is the dummy index
     window_h: int
     tile_k: int
     group: int
@@ -81,6 +82,7 @@ class ExecutionPlan:
     out_perm: np.ndarray         # int32 [N] -> row in concat(dense, sparse, zero)
 
     # ---- stats (host-only; for roofline/logging) ----
+    num_dense_windows_real: int = 0  # before cap padding
     nnz: int = 0
     dense_nnz: int = 0
     sparse_nnz: int = 0
@@ -104,13 +106,29 @@ class ExecutionPlan:
         return 4 * (self.dense_gather_rows + self.num_sparse_edges)
 
 
+@dataclasses.dataclass(frozen=True)
+class PlanCaps:
+    """Minimum array extents, so per-shard plans of one graph stack into a
+    single uniform-shaped ``shard_map`` program (see parallel.partition)."""
+
+    num_dense_windows: int = 0
+    num_tiles: int = 0
+    num_sparse_rows: int = 0
+    num_sparse_edges: int = 0
+
+
 def build_plan(
     row_pointers: np.ndarray,
     column_index: np.ndarray,
     num_nodes: int,
     config: PlanConfig = PlanConfig(),
     analysis: Optional[WindowAnalysis] = None,
+    num_cols: Optional[int] = None,
+    caps: PlanCaps = PlanCaps(),
 ) -> ExecutionPlan:
+    """``num_nodes`` counts rows; ``num_cols`` (default: square) sets the
+    column space for a rectangular row-block shard of the adjacency."""
+    num_cols = num_nodes if num_cols is None else num_cols
     wa = analysis or analyze_windows(
         row_pointers,
         column_index,
@@ -118,9 +136,11 @@ def build_plan(
         window_h=config.window_h,
         loi_mode=config.loi_mode,
         loi_coeffs=config.loi,
+        num_cols=num_cols,
     )
     wh, tk, group = config.window_h, config.tile_k, config.group
     n = num_nodes
+    c = num_cols
     nnz = len(wa.edge_to_row)
 
     dense_mask_w = (wa.hybrid_type == 1) & (wa.edge_counts > 0)
@@ -136,11 +156,12 @@ def build_plan(
     tile_off = np.zeros(num_dense + 1, dtype=np.int64)
     np.cumsum(tiles_per_w, out=tile_off[1:])
     t_real = int(tile_off[-1])
-    t_pad = max(((t_real + group - 1) // group) * group, group)
+    t_pad = max(((t_real + group - 1) // group) * group, group, caps.num_tiles)
+    num_dense_cap = max(num_dense, caps.num_dense_windows)
 
-    tile_cols = np.full((t_pad, tk), n, dtype=np.int32)
+    tile_cols = np.full((t_pad, tk), c, dtype=np.int32)
     tile_a = np.zeros((t_pad, wh, tk), dtype=np.int8)
-    tile_seg = np.full(t_pad, num_dense, dtype=np.int32)
+    tile_seg = np.full(t_pad, num_dense_cap, dtype=np.int32)
 
     if num_dense > 0:
         # window position lookup: global window id -> dense position
@@ -181,6 +202,8 @@ def build_plan(
         else np.zeros(0, dtype=np.int64)
     )
     dense_rows = np.minimum(dense_rows, n - 1).astype(np.int32) if n > 0 else dense_rows.astype(np.int32)
+    # capped padding: sentinel n marks rows no window produces
+    dense_rows = _pad_to(dense_rows, num_dense_cap * wh, n)
 
     # -------------------- sparse path --------------------
     # rows of sparse windows, clipped to N (last window may be partial)
@@ -198,33 +221,33 @@ def build_plan(
     s_cols = column_index[for_sparse].astype(np.int32)
     s_segs = rpos[wa.edge_to_row[for_sparse].astype(np.int64)].astype(np.int32)
 
-    rs = max(rs_real, 1)
-    es = max(len(s_cols), 1)
+    rs = max(rs_real, 1, caps.num_sparse_rows)
+    es = max(len(s_cols), 1, caps.num_sparse_edges)
     sparse_rows = _pad_to(srows.astype(np.int32), rs, 0)
-    sparse_edge_col = _pad_to(s_cols, es, n)
+    sparse_edge_col = _pad_to(s_cols, es, c)
     sparse_edge_seg = _pad_to(s_segs, es, rs)
 
     # -------------------- merge permutation --------------------
-    # concat layout: [dense Wd*wh rows][sparse Rs rows][1 zero row]
-    zero_at = num_dense * wh + rs
+    # concat layout: [dense Wd_cap*wh rows][sparse Rs rows][1 zero row]
+    zero_at = num_dense_cap * wh + rs
     out_perm = np.full(n, zero_at, dtype=np.int64)
     if num_dense:
-        valid = dense_rows < n
         # positions in concat for dense rows (drop duplicate-clipped tail rows)
         dpos = np.arange(num_dense * wh)
         real = (dense_window_ids[:, None] * wh + np.arange(wh)[None, :]).reshape(-1)
         in_range = real < n
         out_perm[real[in_range]] = dpos[in_range]
     if rs_real:
-        out_perm[srows] = num_dense * wh + np.arange(rs_real)
+        out_perm[srows] = num_dense_cap * wh + np.arange(rs_real)
 
     dense_nnz = int(wa.edge_counts[dense_window_ids].sum()) if num_dense else 0
     return ExecutionPlan(
         num_nodes=n,
+        num_cols=c,
         window_h=wh,
         tile_k=tk,
         group=group,
-        num_dense_windows=num_dense,
+        num_dense_windows=num_dense_cap,
         num_tiles=t_pad,
         tile_cols=tile_cols,
         tile_a=tile_a,
@@ -236,6 +259,7 @@ def build_plan(
         sparse_edge_seg=sparse_edge_seg,
         sparse_rows=sparse_rows,
         out_perm=out_perm.astype(np.int32),
+        num_dense_windows_real=num_dense,
         nnz=nnz,
         dense_nnz=dense_nnz,
         sparse_nnz=nnz - dense_nnz,

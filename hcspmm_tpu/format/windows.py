@@ -72,11 +72,16 @@ def analyze_windows(
     block_w: int = BLK_W,
     loi_mode: str = "intended",
     loi_coeffs: LOICoefficients | None = None,
+    num_cols: int | None = None,
 ) -> WindowAnalysis:
+    """``num_nodes`` is the number of *rows* (the window axis).  For a
+    rectangular operand (a row-block shard of a square adjacency, used by
+    the distributed layer) pass ``num_cols`` = global column count."""
     row_pointers = np.asarray(row_pointers, dtype=np.int64)
     column_index = np.asarray(column_index, dtype=np.int64)
     nnz = int(row_pointers[-1])
     num_windows = (num_nodes + window_h - 1) // window_h
+    num_cols = num_nodes if num_cols is None else num_cols
 
     degrees = np.diff(row_pointers)
     edge_to_row = np.repeat(np.arange(num_nodes, dtype=np.int64), degrees)
@@ -88,13 +93,13 @@ def analyze_windows(
     ends = row_pointers[np.minimum(np.arange(num_windows) * window_h + window_h, num_nodes)]
     window_edge_ptr = np.concatenate([starts, ends[-1:]])
 
-    # Per-window unique neighbour columns.  Key = window * N + col is unique
+    # Per-window unique neighbour columns.  Key = window * C + col is unique
     # per (window, col) pair; np.unique gives the sorted flat unique list and
     # the inverse map, exactly the dedup + binary-search of .cu:242-268.
-    keys = edge_to_window * np.int64(num_nodes) + column_index
+    keys = edge_to_window * np.int64(num_cols) + column_index
     unique_keys, inverse = np.unique(keys, return_inverse=True)
-    unique_windows = unique_keys // num_nodes
-    unique_cols = (unique_keys % num_nodes).astype(np.int32)
+    unique_windows = unique_keys // num_cols
+    unique_cols = (unique_keys % num_cols).astype(np.int32)
     unique_counts = np.bincount(unique_windows, minlength=num_windows).astype(np.int32)
     unique_ptr = np.zeros(num_windows + 1, dtype=np.int64)
     np.cumsum(unique_counts, out=unique_ptr[1:])

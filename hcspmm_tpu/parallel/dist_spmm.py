@@ -1,0 +1,158 @@
+"""Distributed hybrid SpMM over a jax.sharding.Mesh (shard_map + collectives).
+
+One shard_map program serves all devices: each device slices its shard's
+plan arrays (leading shard axis, in_spec P(axis)), assembles its X view
+(all_gather or ppermute halo rounds over ICI), runs the same local hybrid
+SpMM as the single-chip path, and emits its row block (out_spec P(axis)).
+
+Backward reuses the forward operator (the reference's symmetric-structure
+assumption, GNN_model.py:49-57): with a symmetric global A, the row-block
+partition of A^T equals the column-block partition of A, and reusing the
+forward plan is exact — same contract as single-chip ``make_spmm``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:  # JAX >= 0.8 exports shard_map at top level
+    from jax import shard_map as _shard_map_mod  # noqa: F401
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from hcspmm_tpu.ops.spmm import _spmm_xla, _dtype
+from hcspmm_tpu.parallel.partition import ShardedPlan, pad_rows
+
+
+def _local_spmm(arrs, x_view, sharded: ShardedPlan, compute_dtype):
+    return _spmm_xla(
+        arrs,
+        x_view,
+        num_dense=sharded.num_dense_windows,
+        window_h=sharded.window_h,
+        num_sparse_rows=sharded.num_sparse_rows,
+        compute_dtype=compute_dtype,
+    )
+
+
+def make_dist_spmm(
+    sharded: ShardedPlan,
+    mesh: Mesh,
+    axis: str = "x",
+    compute_dtype: str = "float32",
+) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Returns differentiable ``spmm(x) -> A @ x`` for global padded
+    ``x: [n_padded, D]`` sharded (or shardable) as P(axis)."""
+    cd = _dtype(compute_dtype)
+    stacked = {k: jnp.asarray(v) for k, v in sharded.stacked.items()}
+    s = sharded.num_shards
+
+    if sharded.mode == "allgather":
+
+        def body(arrs, x_local):
+            arrs = jax.tree.map(lambda a: a[0], arrs)
+            x_full = jax.lax.all_gather(x_local, axis, axis=0, tiled=True)
+            return _local_spmm(arrs, x_full, sharded, cd)
+
+    elif sharded.mode == "halo":
+        send_idx = jnp.asarray(sharded.send_idx)
+        h = sharded.halo_pair
+
+        def body(arrs, x_local, send_idx_l):
+            arrs = jax.tree.map(lambda a: a[0], arrs)
+            send_idx_l = send_idx_l[0]              # [S-1, H]
+            parts = [x_local]
+            for r in range(s - 1):
+                # round r: shard j sends to (j + r + 1); the receiver is
+                # (j - r - 1)'s target, i.e. we receive from (i - r - 1).
+                buf = jnp.take(x_local, send_idx_l[r], axis=0)  # [H, D]
+                perm = [(j, (j + r + 1) % s) for j in range(s)]
+                parts.append(jax.lax.ppermute(buf, axis, perm))
+            x_view = jnp.concatenate(parts, axis=0)  # [rows_per + (S-1)H, D]
+            return _local_spmm(arrs, x_view, sharded, cd)
+
+    else:
+        raise ValueError(sharded.mode)
+
+    if sharded.mode == "allgather":
+        mapped = shard_map(
+            body, mesh=mesh,
+            in_specs=(jax.tree.map(lambda _: P(axis), stacked), P(axis)),
+            out_specs=P(axis),
+        )
+
+        def run(x):
+            return mapped(stacked, x)
+    else:
+        mapped = shard_map(
+            body, mesh=mesh,
+            in_specs=(jax.tree.map(lambda _: P(axis), stacked), P(axis), P(axis)),
+            out_specs=P(axis),
+        )
+        _send = jnp.asarray(sharded.send_idx)
+
+        def run(x):
+            return mapped(stacked, x, _send)
+
+    @jax.custom_vjp
+    def dist_spmm(x):
+        return run(x)
+
+    def fwd(x):
+        return run(x), None
+
+    def bwd(_, g):
+        return (run(g),)
+
+    dist_spmm.defvjp(fwd, bwd)
+    return dist_spmm
+
+
+class DistHybridSpMM:
+    """Preprocess + operator bundle for multi-chip SpMM.
+
+    ``__call__`` expects global padded x ``[n_padded, D]``; use
+    ``self.pad`` to zero-pad features and ``self.sharding`` to place them.
+    """
+
+    def __init__(
+        self,
+        row_pointers,
+        column_index,
+        num_nodes: int,
+        mesh: Mesh,
+        axis: str = "x",
+        config=None,
+        mode: str = "allgather",
+    ):
+        from hcspmm_tpu.config import PlanConfig
+        from hcspmm_tpu.parallel.partition import build_sharded_plan
+
+        config = config or PlanConfig()
+        self.mesh = mesh
+        self.axis = axis
+        self.sharded = build_sharded_plan(
+            row_pointers, column_index, num_nodes,
+            num_shards=mesh.shape[axis], config=config, mode=mode,
+        )
+        self.sharding = NamedSharding(mesh, P(axis))
+        self._fn = make_dist_spmm(
+            self.sharded, mesh, axis, compute_dtype=config.compute_dtype
+        )
+
+    @property
+    def n_padded(self) -> int:
+        return self.sharded.n_padded
+
+    def pad(self, x: np.ndarray) -> np.ndarray:
+        return pad_rows(np.asarray(x), self.sharded.n_padded)
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return self._fn(x)

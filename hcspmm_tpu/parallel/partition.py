@@ -1,0 +1,190 @@
+"""Row-block partitioning of the adjacency over a device mesh.
+
+Net-new vs the single-GPU reference (SURVEY.md §2.3): A is split into
+contiguous row blocks of whole windows; each device owns the matching row
+block of X, Y and Z.  Local windows may reference any global column, so
+each device needs remote X rows ("halo"):
+
+- ``allgather`` mode: replicate X per step (one ``all_gather`` over ICI);
+  simple, bandwidth N*D per device — the baseline.
+- ``halo`` mode: at preprocessing, compute per (owner, requester) shard
+  pair exactly which rows are needed; at run time exchange only those via
+  ``ppermute`` rounds.  Plan column indices are pre-remapped into each
+  shard's ``concat(X_local, halo_buffer, zero)`` space, so the compute
+  kernels are oblivious to distribution.
+
+All per-shard arrays are padded to uniform shapes (PlanCaps) and stacked
+with a leading shard axis, so one ``shard_map`` program serves every
+device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from hcspmm_tpu.config import PlanConfig
+from hcspmm_tpu.format.plan import ExecutionPlan, PlanCaps, build_plan
+
+
+def pad_rows(x: np.ndarray, n_padded: int):
+    """Pad node-dim arrays (features/labels) with zeros up to n_padded."""
+    if x.shape[0] == n_padded:
+        return x
+    pad_shape = (n_padded - x.shape[0],) + x.shape[1:]
+    return np.concatenate([x, np.zeros(pad_shape, dtype=x.dtype)])
+
+
+@dataclasses.dataclass
+class ShardedPlan:
+    num_shards: int
+    num_nodes: int          # true N
+    n_padded: int           # N rounded up to shards * rows_per_shard
+    rows_per_shard: int
+    window_h: int
+    num_dense_windows: int  # uniform (capped) per-shard count
+    num_sparse_rows: int    # uniform per-shard count
+    mode: str               # 'allgather' | 'halo'
+
+    # stacked per-shard plan arrays, each with leading dim [S, ...]
+    stacked: Dict[str, np.ndarray]
+
+    # halo-mode only
+    halo_pair: int = 0                      # H: rows exchanged per shard pair
+    send_idx: Optional[np.ndarray] = None   # int32 [S, S-1, H] local rows owner
+                                            # sends in round r (to shard i+r+1)
+    plans: Optional[List[ExecutionPlan]] = None  # host-side, for stats
+
+    @property
+    def nnz(self) -> int:
+        return sum(p.nnz for p in self.plans) if self.plans else 0
+
+
+def _slice_csr(rp: np.ndarray, ci: np.ndarray, lo: int, hi: int, rows: int):
+    """CSR of rows [lo, hi) re-based to start at 0, padded to `rows` rows."""
+    local_rp = (rp[lo: hi + 1] - rp[lo]).astype(np.int64)
+    local_ci = ci[rp[lo]: rp[hi]].astype(np.int32)
+    if len(local_rp) - 1 < rows:
+        local_rp = np.concatenate(
+            [local_rp, np.full(rows - (len(local_rp) - 1), local_rp[-1], np.int64)]
+        )
+    return local_rp, local_ci
+
+
+def build_sharded_plan(
+    row_pointers: np.ndarray,
+    column_index: np.ndarray,
+    num_nodes: int,
+    num_shards: int,
+    config: PlanConfig = PlanConfig(),
+    mode: str = "allgather",
+) -> ShardedPlan:
+    rp = np.asarray(row_pointers, dtype=np.int64)
+    ci = np.asarray(column_index, dtype=np.int32)
+    wh = config.window_h
+    chunk = wh * num_shards
+    n_padded = ((num_nodes + chunk - 1) // chunk) * chunk
+    rows_per = n_padded // num_shards
+
+    # Pass 1: per-shard plans (column space = padded global for allgather).
+    def shard_plans(num_cols_fn, remap_fn=None, caps=PlanCaps()):
+        plans = []
+        for s in range(num_shards):
+            lo = min(s * rows_per, num_nodes)
+            hi = min((s + 1) * rows_per, num_nodes)
+            lrp, lci = _slice_csr(rp, ci, lo, hi, rows_per)
+            if remap_fn is not None:
+                lci = remap_fn(s, lci)
+            plans.append(
+                build_plan(lrp, lci, rows_per, config,
+                           num_cols=num_cols_fn(s), caps=caps)
+            )
+        return plans
+
+    if mode == "allgather":
+        probe = shard_plans(lambda s: n_padded)
+        caps = PlanCaps(
+            num_dense_windows=max(p.num_dense_windows for p in probe),
+            num_tiles=max(p.num_tiles for p in probe),
+            num_sparse_rows=max(p.num_sparse_rows for p in probe),
+            num_sparse_edges=max(p.num_sparse_edges for p in probe),
+        )
+        plans = shard_plans(lambda s: n_padded, caps=caps)
+        send_idx, halo_pair = None, 0
+    elif mode == "halo":
+        # Needed remote rows per (requester i, owner j != i).
+        need: List[List[np.ndarray]] = []
+        for i in range(num_shards):
+            lo = min(i * rows_per, num_nodes)
+            hi = min((i + 1) * rows_per, num_nodes)
+            cols = np.unique(ci[rp[lo]: rp[hi]].astype(np.int64))
+            owners = cols // rows_per
+            need.append([
+                np.sort(cols[owners == j]) for j in range(num_shards)
+            ])
+        halo_pair = max(
+            (len(need[i][j]) for i in range(num_shards)
+             for j in range(num_shards) if j != i),
+            default=0,
+        )
+        halo_pair = max(halo_pair, 1)
+
+        # send_idx[j, r] = local rows shard j sends in round r to shard
+        # (j + r + 1) % S; padding repeats local row 0.
+        send_idx = np.zeros((num_shards, num_shards - 1, halo_pair), np.int32)
+        for j in range(num_shards):
+            for r in range(num_shards - 1):
+                i = (j + r + 1) % num_shards
+                rows = need[i][j] - j * rows_per
+                send_idx[j, r, : len(rows)] = rows
+
+        # Column remap per requester shard i:
+        #   local col  g (owner i)  -> g - i*rows_per
+        #   remote col g (owner j)  -> rows_per + (r-1)*H + pos(g in need[i][j])
+        #     where r = (i - j) mod S is the receive round of owner j.
+        #   dummy -> rows_per + (S-1)*H
+        def remap(i: int, lci: np.ndarray) -> np.ndarray:
+            lut = np.full(n_padded, rows_per + (num_shards - 1) * halo_pair,
+                          dtype=np.int64)
+            mine = np.arange(i * rows_per, (i + 1) * rows_per)
+            lut[mine] = np.arange(rows_per)
+            for j in range(num_shards):
+                if j == i:
+                    continue
+                rcv_round = (i - j) % num_shards  # in 1..S-1
+                base = rows_per + (rcv_round - 1) * halo_pair
+                lut[need[i][j]] = base + np.arange(len(need[i][j]))
+            return lut[lci.astype(np.int64)].astype(np.int32)
+
+        local_cols = rows_per + (num_shards - 1) * halo_pair
+        probe = shard_plans(lambda s: local_cols, remap)
+        caps = PlanCaps(
+            num_dense_windows=max(p.num_dense_windows for p in probe),
+            num_tiles=max(p.num_tiles for p in probe),
+            num_sparse_rows=max(p.num_sparse_rows for p in probe),
+            num_sparse_edges=max(p.num_sparse_edges for p in probe),
+        )
+        plans = shard_plans(lambda s: local_cols, remap, caps)
+    else:
+        raise ValueError(f"unknown halo mode: {mode}")
+
+    stacked = {
+        k: np.stack([p.device_arrays()[k] for p in plans])
+        for k in plans[0].device_arrays()
+    }
+    return ShardedPlan(
+        num_shards=num_shards,
+        num_nodes=num_nodes,
+        n_padded=n_padded,
+        rows_per_shard=rows_per,
+        window_h=wh,
+        num_dense_windows=plans[0].num_dense_windows,
+        num_sparse_rows=plans[0].num_sparse_rows,
+        mode=mode,
+        stacked=stacked,
+        halo_pair=halo_pair if mode == "halo" else 0,
+        send_idx=send_idx if mode == "halo" else None,
+        plans=plans,
+    )

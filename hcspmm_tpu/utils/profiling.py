@@ -13,6 +13,7 @@ import time
 from typing import Dict, Optional
 
 import jax
+import numpy as np
 
 from hcspmm_tpu.config import TPU_BF16_TFLOPS, TPU_FP32_TFLOPS, TPU_HBM_GBPS
 
@@ -43,6 +44,60 @@ def time_fn(fn, *args, rounds: int = 100, warmup: int = 5) -> float:
         out = fn(*args)
     jax.block_until_ready(out)
     return (time.perf_counter() - t0) / rounds
+
+
+def _parse_trace_device_us(log_dir: str) -> Dict[str, float]:
+    """Sum per-name device durations from the newest trace in log_dir."""
+    import glob
+    import gzip
+    import json
+
+    paths = sorted(glob.glob(f"{log_dir}/plugins/profile/*/*.trace.json.gz"))
+    if not paths:
+        return {}
+    with gzip.open(paths[-1]) as f:
+        tr = json.load(f)
+    agg: Dict[str, float] = {}
+    for e in tr.get("traceEvents", []):
+        if e.get("ph") == "X" and not e.get("name", "").startswith("$"):
+            agg[e["name"]] = agg.get(e["name"], 0.0) + e.get("dur", 0.0)
+    return agg
+
+
+def device_time(fn, *args, iters: int = 20, log_dir: Optional[str] = None) -> float:
+    """True device seconds per call of a jitted ``fn``, via the profiler.
+
+    Host-side timing is useless on tunnelled TPU platforms (axon): per-call
+    RPC latency is 30-50 ms and ``block_until_ready`` can return early.  The
+    profiler records on-device executable durations, so: warm up, trace
+    ``iters`` dispatches, and divide the device time of the dominant
+    ``jit_*`` event.  Falls back to wall-clock if no trace is produced.
+    """
+    import shutil
+    import tempfile
+
+    out = fn(*args)
+    out = fn(*args)
+    jax.block_until_ready(out)
+
+    tmp = log_dir or tempfile.mkdtemp(prefix="hcspmm_prof_")
+    t0 = time.perf_counter()
+    with jax.profiler.trace(tmp):
+        for _ in range(iters):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        # force real completion on platforms with weak block_until_ready
+        _ = np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
+    wall = time.perf_counter() - t0
+
+    agg = _parse_trace_device_us(tmp)
+    if log_dir is None:
+        shutil.rmtree(tmp, ignore_errors=True)
+    jit_events = {k: v for k, v in agg.items()
+                  if k.startswith("jit_") or k.startswith("jit(")}
+    if not jit_events:
+        return wall / iters
+    return max(jit_events.values()) / iters / 1e6
 
 
 def roofline(

@@ -1,0 +1,89 @@
+"""Distributed SpMM on a virtual 8-device CPU mesh (SURVEY.md §4.4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from hcspmm_tpu.config import PlanConfig
+from hcspmm_tpu.ops.spmm import spmm_reference_dense
+from hcspmm_tpu.parallel.dist_spmm import DistHybridSpMM
+from hcspmm_tpu.parallel.partition import build_sharded_plan
+
+from conftest import small_graph
+
+
+def make_mesh(n):
+    devs = jax.devices()[:n]
+    return Mesh(np.array(devs), ("x",))
+
+
+@pytest.mark.parametrize("mode", ["allgather", "halo"])
+@pytest.mark.parametrize("nshards", [2, 4, 8])
+def test_dist_matches_oracle(mode, nshards):
+    rp, ci, nn = small_graph(200, 6, span=32)
+    mesh = make_mesh(nshards)
+    op = DistHybridSpMM(rp, ci, nn, mesh, mode=mode)
+    rng = np.random.RandomState(0)
+    x = rng.randn(nn, 12).astype(np.float32)
+    xp = jax.device_put(op.pad(x), op.sharding)
+    z = np.asarray(jax.jit(op)(xp))[:nn]
+    zref = spmm_reference_dense(rp, ci, nn, x)
+    err = np.abs(z - zref).max() / (np.abs(zref).max() + 1e-9)
+    assert err < 1e-5, f"{mode}/{nshards}: rel err {err}"
+
+
+@pytest.mark.parametrize("mode", ["allgather", "halo"])
+def test_dist_grad(mode):
+    rp, ci, nn = small_graph(100, 5, span=16)
+    mesh = make_mesh(4)
+    op = DistHybridSpMM(rp, ci, nn, mesh, mode=mode)
+    rng = np.random.RandomState(1)
+    x = rng.randn(nn, 8).astype(np.float32)
+    xp = jax.device_put(op.pad(x), op.sharding)
+    g = np.asarray(jax.grad(lambda x: (op(x) ** 2).sum())(xp))[:nn]
+
+    a = np.zeros((nn, nn))
+    for r in range(nn):
+        a[r, ci[rp[r]: rp[r + 1]]] = 1
+    gref = 2 * a @ (a @ x)  # symmetric graph
+    err = np.abs(g - gref).max() / (np.abs(gref).max() + 1e-9)
+    assert err < 1e-5, err
+
+
+def test_sharded_plan_shapes_uniform():
+    rp, ci, nn = small_graph(150, 6)
+    sp = build_sharded_plan(rp, ci, nn, 4, PlanConfig(), mode="halo")
+    for k, v in sp.stacked.items():
+        assert v.shape[0] == 4, k
+    assert sp.n_padded % (4 * 16) == 0
+    assert sp.send_idx.shape == (4, 3, sp.halo_pair)
+    # send indices are valid local rows
+    assert sp.send_idx.max() < sp.rows_per_shard
+
+
+def test_dist_in_training_step():
+    """dist spmm composes with a jitted GCN step under GSPMD."""
+    from hcspmm_tpu.models.net import Net, init_net_params, net_forward
+    from hcspmm_tpu.train.loop import nll_loss
+
+    rp, ci, nn = small_graph(100, 5, span=16)
+    mesh = make_mesh(4)
+    op = DistHybridSpMM(rp, ci, nn, mesh, mode="halo")
+    net = Net(model="gcn", num_features=8, hidden=8, num_classes=3, num_layers=2)
+    params = init_net_params(net, jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    x = jax.device_put(op.pad(rng.randn(nn, 8).astype(np.float32)), op.sharding)
+    y = jax.device_put(
+        np.ones(op.n_padded, dtype=np.int32),
+        NamedSharding(mesh, P("x")),
+    )
+
+    @jax.jit
+    def loss_fn(params, x, y):
+        logp = net_forward(net, params, op, x, train=False)
+        return nll_loss(logp, y)
+
+    g = jax.jit(jax.grad(loss_fn))(params, x, y)
+    assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree.leaves(g))
