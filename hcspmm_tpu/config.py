@@ -55,15 +55,14 @@ class PlanConfig:
     """Configuration of the TPU execution plan (format.plan)."""
 
     window_h: int = BLK_H
-    # Unique-column tile width for dense (MXU) windows.  Each dense window is
-    # split into ceil(unique_cols / tile_k) tiles of a 16 x tile_k binary
-    # block; the analog of the reference's MAX_BLK 8-wide TC blocks
-    # (hybrid_all_kernel.cu:258-260) sized for MXU/VMEM instead of WMMA.
-    tile_k: int = 32
-    # Dense windows are processed in groups of `group` windows per Pallas
-    # grid step so one step emits group*window_h = 128 output rows
-    # (an fp32-tile-aligned output block).
-    group: int = 8
+    # Unique-column width buckets for dense (MXU) windows.  A dense window
+    # with U unique neighbour columns is padded to the smallest bucket
+    # width >= U and becomes one binary [window_h, Kb] block-row — the
+    # analog of the reference's MAX_BLK 8-wide WMMA blocks
+    # (hybrid_all_kernel.cu:258-260) fused across the block loop and sized
+    # for the MXU.  Windows wider than the last bucket go to the sparse
+    # path (the reference similarly caps at MAX_BLK*8 columns).
+    bucket_widths: Sequence[int] = (32, 64, 96, 128, 192, 256)
     # LOI mode: 'intended' | 'degenerate' | 'calibrated' | 'all_dense'
     # | 'all_sparse'.  'degenerate' reproduces the reference's live line
     # (hybrid_all_kernel.cu:262, missing `> 0`) for bit-parity experiments.

@@ -3,41 +3,41 @@
 The reference dispatches both populations inside one CUDA kernel with a
 per-block branch on ``hybrid_type[bid]`` (hybrid_all_kernel.cu:960).  XLA
 has no cheap per-grid-step divergence, so the TPU design partitions the
-window space at preprocessing time into two statically-shaped populations
-(SURVEY.md §7 "hard parts" #1):
+window space at preprocessing time into statically-shaped populations
+(SURVEY.md §7 "hard parts" #1/#2):
 
-- **Dense (MXU) path** — windows the LOI selector marks compute-bound.
-  Each window's unique neighbour columns are split into tiles of
-  ``tile_k`` columns; a tile is a binary ``[window_h, tile_k]`` block (the
-  analog of the reference's 16x8 WMMA ``sparse_A``, .cu:1053-1079, widened
-  for the 128x128 MXU) stored as int8, plus the tile's global column ids
-  (the analog of ``sparse_AToX_index``).  At run time: gather the tile's X
-  rows, one batched matmul per tile, segment-sum tiles belonging to the
-  same window.  Because columns are deduplicated per window, the HBM
-  gather traffic is `sum_w unique_w * D` — never more than the raw CSR
-  gather, which is the whole HC-SpMM bandwidth win.
+- **Dense (MXU) path, width-bucketed.**  A dense window's unique neighbour
+  columns (at most ``bucket_widths[-1]``) are padded to the smallest
+  bucket width Kb; the window becomes one binary block-row
+  ``A_w [window_h, Kb]`` (int8; the analog of the reference's 16x8 WMMA
+  ``sparse_A`` blocks, .cu:1053-1079, fused across its MAX_BLK loop) plus
+  the column ids (the analog of ``sparse_AToX_index``).  At run time each
+  bucket is one fused gather + batched matmul — **no scatter/segment-sum
+  anywhere**; the reduction over column blocks folds into the dot's
+  contraction.  Profiling on v5e showed XLA's scatter at ~41 GB/s was the
+  single largest cost of a tile+segment-sum design; buckets eliminate it.
 
-- **Sparse (VPU) path** — memory-bound windows keep CSR semantics: gather
-  one X row per edge and segment-sum into output rows (the equivalent of
-  the warp-per-row CUDA-core loop, .cu:964-1036).
+- **Sparse (VPU) path** — windows that are empty, LOI-classified
+  memory-bound, or wider than the largest bucket keep CSR semantics:
+  gather one X row per edge and a sorted segment-sum into output rows
+  (the equivalent of the warp-per-row CUDA-core loop, .cu:964-1036).
 
-- **Merge** — a single row-gather assembles the final ``[N, D]`` output
-  from ``concat(dense_out, sparse_out, zero_row)`` via a precomputed
-  permutation; empty windows map to the zero row.  This keeps the merge
-  O(N*D) with no scatter (hard part #1's "output scatter/merge").
+- **Merge** — one row-gather assembles ``[N, D]`` output from
+  ``concat(bucket outputs..., sparse rows, zero row)`` via a precomputed
+  permutation; empty windows map to the zero row.  O(N*D), no scatter.
 
-All arrays here are static-shaped per graph, so every downstream jit
-compiles once per (graph, dim).
+All arrays are static-shaped per graph, so downstream jits compile once
+per (graph, dim).
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from hcspmm_tpu.config import BLK_H, LOICoefficients, PlanConfig
+from hcspmm_tpu.config import PlanConfig
 from hcspmm_tpu.format.windows import WindowAnalysis, analyze_windows
 
 
@@ -48,73 +48,70 @@ def _pad_to(x: np.ndarray, size: int, fill) -> np.ndarray:
     return np.concatenate([x, pad])
 
 
+@dataclasses.dataclass(frozen=True)
+class PlanCaps:
+    """Minimum array extents, so per-shard plans of one graph stack into a
+    single uniform-shaped ``shard_map`` program (see parallel.partition)."""
+
+    bucket_windows: Tuple[int, ...] = ()   # per-bucket min window counts
+    num_sparse_rows: int = 0
+    num_sparse_edges: int = 0
+
+
 @dataclasses.dataclass
 class ExecutionPlan:
     """Static device-side description of one hybrid SpMM.
 
-    Column index convention: ``num_nodes`` is a valid *dummy* index — SpMM
+    Column index convention: ``num_cols`` is a valid *dummy* index — SpMM
     implementations append one zero row to X, so padded gathers read zeros.
     """
 
     num_nodes: int              # rows of this operand (= global N when square)
     num_cols: int               # column space; num_cols is the dummy index
     window_h: int
-    tile_k: int
-    group: int
 
-    # ---- dense (MXU) path ----
-    num_dense_windows: int
-    num_tiles: int               # padded to a multiple of `group`
-    tile_cols: np.ndarray        # int32 [T, tile_k], padded with num_nodes
-    tile_a: np.ndarray           # int8  [T, window_h, tile_k], binary
-    tile_seg: np.ndarray         # int32 [T] -> dense-window position (padding -> Wd)
-    dense_rows: np.ndarray       # int32 [Wd * window_h] global row of each dense-out row
-                                 #       (rows past N point at row 0; merge drops them)
+    # ---- dense (MXU) path: one entry per width bucket ----
+    bucket_widths: Tuple[int, ...]       # Kb per bucket (ascending)
+    bucket_cols: List[np.ndarray]        # int32 [Wb, Kb], padded with num_cols
+    bucket_a: List[np.ndarray]           # int8  [Wb, window_h, Kb], binary
+    bucket_window_ids: List[np.ndarray]  # int64 [Wb_real] global window ids
 
     # ---- sparse (VPU) path ----
     num_sparse_rows: int         # Rs (>= 1; padded)
     num_sparse_edges: int        # Es (>= 1; padded)
-    sparse_edge_col: np.ndarray  # int32 [Es], padded with num_nodes
+    sparse_edge_col: np.ndarray  # int32 [Es], padded with num_cols
     sparse_edge_seg: np.ndarray  # int32 [Es] -> sparse-row position (padding -> Rs)
     sparse_rows: np.ndarray      # int32 [Rs] global row ids
 
     # ---- merge ----
-    out_perm: np.ndarray         # int32 [N] -> row in concat(dense, sparse, zero)
+    out_perm: np.ndarray         # int32 [N] -> row in concat(buckets..., sparse, zero)
 
     # ---- stats (host-only; for roofline/logging) ----
-    num_dense_windows_real: int = 0  # before cap padding
     nnz: int = 0
     dense_nnz: int = 0
     sparse_nnz: int = 0
-    dense_gather_rows: int = 0   # T * tile_k including padding
-    unique_gather_rows: int = 0  # sum of unique cols over dense windows (no padding)
+    dense_gather_rows: int = 0   # sum Wb * Kb (inc. padding)
+    unique_gather_rows: int = 0  # sum unique cols over dense windows
+
+    @property
+    def num_dense_windows(self) -> int:
+        return sum(len(w) for w in self.bucket_window_ids)
+
+    @property
+    def bucket_capacities(self) -> Tuple[int, ...]:
+        return tuple(c.shape[0] for c in self.bucket_cols)
 
     def device_arrays(self):
         """The pytree of arrays an SpMM implementation needs on device."""
-        return {
-            "tile_cols": self.tile_cols,
-            "tile_a": self.tile_a,
-            "tile_seg": self.tile_seg,
+        d = {
             "sparse_edge_col": self.sparse_edge_col,
             "sparse_edge_seg": self.sparse_edge_seg,
             "out_perm": self.out_perm,
         }
-
-    @property
-    def gather_bytes_fp32(self) -> int:
-        """Ideal HBM gather traffic for D features at fp32 per feature unit."""
-        return 4 * (self.dense_gather_rows + self.num_sparse_edges)
-
-
-@dataclasses.dataclass(frozen=True)
-class PlanCaps:
-    """Minimum array extents, so per-shard plans of one graph stack into a
-    single uniform-shaped ``shard_map`` program (see parallel.partition)."""
-
-    num_dense_windows: int = 0
-    num_tiles: int = 0
-    num_sparse_rows: int = 0
-    num_sparse_edges: int = 0
+        for b in range(len(self.bucket_widths)):
+            d[f"b{b}_cols"] = self.bucket_cols[b]
+            d[f"b{b}_a"] = self.bucket_a[b]
+        return d
 
 
 def build_plan(
@@ -138,75 +135,65 @@ def build_plan(
         loi_coeffs=config.loi,
         num_cols=num_cols,
     )
-    wh, tk, group = config.window_h, config.tile_k, config.group
-    n = num_nodes
-    c = num_cols
-    nnz = len(wa.edge_to_row)
+    wh = config.window_h
+    widths = tuple(config.bucket_widths)
+    n, c = num_nodes, num_cols
+    column_index = np.asarray(column_index, dtype=np.int64)
+    nnz = int(len(wa.edge_to_row))
 
-    dense_mask_w = (wa.hybrid_type == 1) & (wa.edge_counts > 0)
-    sparse_mask_w = (wa.hybrid_type == 0) & (wa.edge_counts > 0)
-    dense_window_ids = np.where(dense_mask_w)[0].astype(np.int64)
-    sparse_window_ids = np.where(sparse_mask_w)[0].astype(np.int64)
-    num_dense = len(dense_window_ids)
-
-    # -------------------- dense path --------------------
-    # tiles per dense window and tile offsets
-    uniq_d = wa.unique_counts[dense_window_ids].astype(np.int64)
-    tiles_per_w = np.maximum((uniq_d + tk - 1) // tk, 1)
-    tile_off = np.zeros(num_dense + 1, dtype=np.int64)
-    np.cumsum(tiles_per_w, out=tile_off[1:])
-    t_real = int(tile_off[-1])
-    t_pad = max(((t_real + group - 1) // group) * group, group, caps.num_tiles)
-    num_dense_cap = max(num_dense, caps.num_dense_windows)
-
-    tile_cols = np.full((t_pad, tk), c, dtype=np.int32)
-    tile_a = np.zeros((t_pad, wh, tk), dtype=np.int8)
-    tile_seg = np.full(t_pad, num_dense_cap, dtype=np.int32)
-
-    if num_dense > 0:
-        # window position lookup: global window id -> dense position
-        wpos = np.full(wa.num_windows, -1, dtype=np.int64)
-        wpos[dense_window_ids] = np.arange(num_dense)
-
-        # fill tile_seg for real tiles
-        tile_seg[:t_real] = np.repeat(np.arange(num_dense), tiles_per_w).astype(np.int32)
-
-        # fill tile_cols from per-window sorted unique columns
-        # flat position of each unique col within its window
-        for_dense = np.isin(wa.edge_to_window, dense_window_ids)
-        up, uc = wa.unique_ptr, wa.unique_cols
-        # vectorized: for each dense window, copy its unique cols into tiles
-        u_starts = up[dense_window_ids]
-        u_counts = uniq_d
-        # local index of each unique entry within its window
-        flat_idx = np.concatenate(
-            [np.arange(c) + tile_off[i] * tk for i, c in enumerate(u_counts)]
-        ) if num_dense else np.zeros(0, dtype=np.int64)
-        flat_vals = np.concatenate(
-            [uc[s: s + c] for s, c in zip(u_starts, u_counts)]
-        ) if num_dense else np.zeros(0, dtype=np.int32)
-        tile_cols.reshape(-1)[flat_idx] = flat_vals
-
-        # fill tile_a from edges of dense windows
-        e_w = wa.edge_to_window[for_dense].astype(np.int64)
-        e_pos = wpos[e_w]                                  # dense window position
-        e_col = wa.edge_to_column[for_dense].astype(np.int64)  # window-local unique idx
-        e_row = (wa.edge_to_row[for_dense].astype(np.int64)) % wh
-        e_tile = tile_off[e_pos] + e_col // tk
-        e_k = e_col % tk
-        tile_a.reshape(-1)[e_tile * (wh * tk) + e_row * tk + e_k] = 1
-
-    dense_rows = (
-        (dense_window_ids[:, None] * wh + np.arange(wh)[None, :]).reshape(-1)
-        if num_dense
-        else np.zeros(0, dtype=np.int64)
+    kmax = widths[-1]
+    dense_mask_w = (
+        (wa.hybrid_type == 1) & (wa.edge_counts > 0) & (wa.unique_counts <= kmax)
     )
-    dense_rows = np.minimum(dense_rows, n - 1).astype(np.int32) if n > 0 else dense_rows.astype(np.int32)
-    # capped padding: sentinel n marks rows no window produces
-    dense_rows = _pad_to(dense_rows, num_dense_cap * wh, n)
+    sparse_mask_w = ~dense_mask_w & (wa.edge_counts > 0)
+
+    # -------------------- dense buckets --------------------
+    # bucket index per dense window: smallest Kb >= unique_count
+    bucket_of = np.searchsorted(np.asarray(widths), wa.unique_counts)
+    bucket_cols: List[np.ndarray] = []
+    bucket_a: List[np.ndarray] = []
+    bucket_window_ids: List[np.ndarray] = []
+    bucket_pos_of_window = np.full(wa.num_windows, -1, dtype=np.int64)
+    bucket_idx_of_window = np.full(wa.num_windows, -1, dtype=np.int64)
+    caps_b = caps.bucket_windows or (0,) * len(widths)
+    if len(caps_b) != len(widths):
+        raise ValueError("caps.bucket_windows length must match bucket_widths")
+
+    dense_gather_rows = 0
+    unique_gather_rows = 0
+    for b, kb in enumerate(widths):
+        wids = np.where(dense_mask_w & (bucket_of == b))[0].astype(np.int64)
+        wb = max(len(wids), caps_b[b], 1)
+        cols = np.full((wb, kb), c, dtype=np.int32)
+        a = np.zeros((wb, wh, kb), dtype=np.int8)
+        if len(wids):
+            bucket_idx_of_window[wids] = b
+            bucket_pos_of_window[wids] = np.arange(len(wids))
+            # scatter each window's sorted unique cols into its row
+            u_start = wa.unique_ptr[wids]
+            u_cnt = wa.unique_counts[wids].astype(np.int64)
+            flat_rows = np.repeat(np.arange(len(wids)), u_cnt)
+            flat_off = np.concatenate([np.arange(k) for k in u_cnt]) if len(wids) else []
+            flat_vals = np.concatenate(
+                [wa.unique_cols[s: s + k] for s, k in zip(u_start, u_cnt)]
+            )
+            cols[flat_rows, flat_off] = flat_vals
+            # fill A from edges of this bucket's windows
+            sel = dense_mask_w[wa.edge_to_window] & (bucket_of[wa.edge_to_window] == b)
+            e_w = wa.edge_to_window[sel].astype(np.int64)
+            a.reshape(-1)[
+                bucket_pos_of_window[e_w] * (wh * kb)
+                + (wa.edge_to_row[sel].astype(np.int64) % wh) * kb
+                + wa.edge_to_column[sel].astype(np.int64)
+            ] = 1
+            unique_gather_rows += int(u_cnt.sum())
+        bucket_cols.append(cols)
+        bucket_a.append(a)
+        bucket_window_ids.append(wids)
+        dense_gather_rows += wb * kb
 
     # -------------------- sparse path --------------------
-    # rows of sparse windows, clipped to N (last window may be partial)
+    sparse_window_ids = np.where(sparse_mask_w)[0].astype(np.int64)
     if len(sparse_window_ids) > 0:
         srows = (sparse_window_ids[:, None] * wh + np.arange(wh)[None, :]).reshape(-1)
         srows = srows[srows < n]
@@ -217,7 +204,7 @@ def build_plan(
     if rs_real:
         rpos[srows] = np.arange(rs_real)
 
-    for_sparse = np.isin(wa.edge_to_window, sparse_window_ids)
+    for_sparse = sparse_mask_w[wa.edge_to_window]
     s_cols = column_index[for_sparse].astype(np.int32)
     s_segs = rpos[wa.edge_to_row[for_sparse].astype(np.int64)].astype(np.int32)
 
@@ -228,43 +215,46 @@ def build_plan(
     sparse_edge_seg = _pad_to(s_segs, es, rs)
 
     # -------------------- merge permutation --------------------
-    # concat layout: [dense Wd_cap*wh rows][sparse Rs rows][1 zero row]
-    zero_at = num_dense_cap * wh + rs
+    # concat layout: [bucket0 Wb0*wh rows][bucket1 ...][sparse Rs][1 zero row]
+    bucket_row_offsets = np.zeros(len(widths) + 1, dtype=np.int64)
+    for b in range(len(widths)):
+        bucket_row_offsets[b + 1] = (
+            bucket_row_offsets[b] + bucket_cols[b].shape[0] * wh
+        )
+    sparse_off = int(bucket_row_offsets[-1])
+    zero_at = sparse_off + rs
     out_perm = np.full(n, zero_at, dtype=np.int64)
-    if num_dense:
-        # positions in concat for dense rows (drop duplicate-clipped tail rows)
-        dpos = np.arange(num_dense * wh)
-        real = (dense_window_ids[:, None] * wh + np.arange(wh)[None, :]).reshape(-1)
+    for b in range(len(widths)):
+        wids = bucket_window_ids[b]
+        if not len(wids):
+            continue
+        real = (wids[:, None] * wh + np.arange(wh)[None, :]).reshape(-1)
+        dpos = bucket_row_offsets[b] + np.arange(len(wids) * wh)
         in_range = real < n
         out_perm[real[in_range]] = dpos[in_range]
     if rs_real:
-        out_perm[srows] = num_dense_cap * wh + np.arange(rs_real)
+        out_perm[srows] = sparse_off + np.arange(rs_real)
 
-    dense_nnz = int(wa.edge_counts[dense_window_ids].sum()) if num_dense else 0
+    dense_nnz = int(wa.edge_counts[dense_mask_w].sum())
     return ExecutionPlan(
         num_nodes=n,
         num_cols=c,
         window_h=wh,
-        tile_k=tk,
-        group=group,
-        num_dense_windows=num_dense_cap,
-        num_tiles=t_pad,
-        tile_cols=tile_cols,
-        tile_a=tile_a,
-        tile_seg=tile_seg,
-        dense_rows=dense_rows,
+        bucket_widths=widths,
+        bucket_cols=bucket_cols,
+        bucket_a=bucket_a,
+        bucket_window_ids=bucket_window_ids,
         num_sparse_rows=rs,
         num_sparse_edges=es,
         sparse_edge_col=sparse_edge_col,
         sparse_edge_seg=sparse_edge_seg,
         sparse_rows=sparse_rows,
         out_perm=out_perm.astype(np.int32),
-        num_dense_windows_real=num_dense,
         nnz=nnz,
         dense_nnz=dense_nnz,
         sparse_nnz=nnz - dense_nnz,
-        dense_gather_rows=t_pad * tk,
-        unique_gather_rows=int(uniq_d.sum()) if num_dense else 0,
+        dense_gather_rows=dense_gather_rows,
+        unique_gather_rows=unique_gather_rows,
     )
 
 

@@ -37,11 +37,13 @@ def _dtype(name: str):
     return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[name]
 
 
-def _dense_path_xla(arrs, xp, num_dense: int, window_h: int, compute_dtype):
-    """Block-dense MXU path: per-tile gather + batched matmul + segment-sum.
+def _dense_path_xla(arrs, xp, num_buckets: int, window_h: int, compute_dtype):
+    """Width-bucketed block-dense MXU path: per-bucket gather + one batched
+    matmul, no scatter (reduction over column blocks folds into the dot).
 
-    Equivalent of the WMMA path (.cu:1385-1472): ``tile_a`` plays
-    ``sparse_A``, ``tile_cols`` plays ``sparse_AToX_index``.
+    Equivalent of the WMMA path (.cu:1385-1472): ``b*_a`` plays
+    ``sparse_A`` (fused across the MAX_BLK loop), ``b*_cols`` plays
+    ``sparse_AToX_index``.
 
     Precision: with fp32 compute we force HIGHEST so the MXU does true-fp32
     (multi-pass) accumulation — the TPU default bf16 pass would be *looser*
@@ -55,22 +57,21 @@ def _dense_path_xla(arrs, xp, num_dense: int, window_h: int, compute_dtype):
         if compute_dtype == jnp.float32
         else jax.lax.Precision.DEFAULT
     )
-    xg = jnp.take(xp, arrs["tile_cols"], axis=0)          # [T, K, D] gather
-    a = arrs["tile_a"].astype(compute_dtype)               # [T, wh, K]
-    part = jax.lax.dot_general(
-        a,
-        xg.astype(compute_dtype),
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-        precision=precision,
-    )                                                      # [T, wh, D] fp32
-    out = jax.ops.segment_sum(
-        part,
-        arrs["tile_seg"],
-        num_segments=num_dense + 1,
-        indices_are_sorted=True,
-    )[:num_dense]                                          # [Wd, wh, D]
-    return out.reshape(num_dense * window_h, d)
+    outs = []
+    for b in range(num_buckets):
+        cols = arrs[f"b{b}_cols"]                          # [Wb, Kb]
+        a = arrs[f"b{b}_a"].astype(compute_dtype)          # [Wb, wh, Kb]
+        wb = cols.shape[0]
+        xg = jnp.take(xp, cols, axis=0)                    # [Wb, Kb, D] gather
+        part = jax.lax.dot_general(
+            a,
+            xg.astype(compute_dtype),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )                                                  # [Wb, wh, D] fp32
+        outs.append(part.reshape(wb * window_h, d))
+    return outs
 
 
 def _sparse_path_xla(arrs, xp, num_sparse_rows: int, compute_dtype):
@@ -86,14 +87,14 @@ def _sparse_path_xla(arrs, xp, num_sparse_rows: int, compute_dtype):
     return out
 
 
-def _spmm_xla(arrs, x, *, num_dense, window_h, num_sparse_rows, compute_dtype):
+def _spmm_xla(arrs, x, *, num_buckets, window_h, num_sparse_rows, compute_dtype):
     n, d = x.shape
     xp = jnp.concatenate([x, jnp.zeros((1, d), x.dtype)])  # dummy zero row at N
     xp = xp.astype(compute_dtype)
-    dense_flat = _dense_path_xla(arrs, xp, num_dense, window_h, compute_dtype)
+    dense_flats = _dense_path_xla(arrs, xp, num_buckets, window_h, compute_dtype)
     sparse_out = _sparse_path_xla(arrs, xp, num_sparse_rows, compute_dtype)
     allrows = jnp.concatenate(
-        [dense_flat, sparse_out, jnp.zeros((1, d), dense_flat.dtype)]
+        dense_flats + [sparse_out, jnp.zeros((1, d), sparse_out.dtype)]
     )
     return jnp.take(allrows, arrs["out_perm"], axis=0).astype(x.dtype)
 
@@ -129,12 +130,12 @@ def make_spmm(
     elif impl == "xla":
         fwd_impl = functools.partial(
             _spmm_xla, arrs_f,
-            num_dense=plan.num_dense_windows, window_h=plan.window_h,
+            num_buckets=len(plan.bucket_widths), window_h=plan.window_h,
             num_sparse_rows=plan.num_sparse_rows, compute_dtype=cd,
         )
         bwd_impl = functools.partial(
             _spmm_xla, arrs_b,
-            num_dense=pb.num_dense_windows, window_h=pb.window_h,
+            num_buckets=len(pb.bucket_widths), window_h=pb.window_h,
             num_sparse_rows=pb.num_sparse_rows, compute_dtype=cd,
         )
     else:

@@ -35,7 +35,7 @@ def _local_spmm(arrs, x_view, sharded: ShardedPlan, compute_dtype):
     return _spmm_xla(
         arrs,
         x_view,
-        num_dense=sharded.num_dense_windows,
+        num_buckets=sharded.num_buckets,
         window_h=sharded.window_h,
         num_sparse_rows=sharded.num_sparse_rows,
         compute_dtype=compute_dtype,

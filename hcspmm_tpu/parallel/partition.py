@@ -44,7 +44,7 @@ class ShardedPlan:
     n_padded: int           # N rounded up to shards * rows_per_shard
     rows_per_shard: int
     window_h: int
-    num_dense_windows: int  # uniform (capped) per-shard count
+    num_buckets: int        # dense width buckets (uniform across shards)
     num_sparse_rows: int    # uniform per-shard count
     mode: str               # 'allgather' | 'halo'
 
@@ -103,15 +103,19 @@ def build_sharded_plan(
             )
         return plans
 
-    if mode == "allgather":
-        probe = shard_plans(lambda s: n_padded)
-        caps = PlanCaps(
-            num_dense_windows=max(p.num_dense_windows for p in probe),
-            num_tiles=max(p.num_tiles for p in probe),
+    def caps_of(probe):
+        nb = len(probe[0].bucket_widths)
+        return PlanCaps(
+            bucket_windows=tuple(
+                max(p.bucket_capacities[b] for p in probe) for b in range(nb)
+            ),
             num_sparse_rows=max(p.num_sparse_rows for p in probe),
             num_sparse_edges=max(p.num_sparse_edges for p in probe),
         )
-        plans = shard_plans(lambda s: n_padded, caps=caps)
+
+    if mode == "allgather":
+        probe = shard_plans(lambda s: n_padded)
+        plans = shard_plans(lambda s: n_padded, caps=caps_of(probe))
         send_idx, halo_pair = None, 0
     elif mode == "halo":
         # Needed remote rows per (requester i, owner j != i).
@@ -160,13 +164,7 @@ def build_sharded_plan(
 
         local_cols = rows_per + (num_shards - 1) * halo_pair
         probe = shard_plans(lambda s: local_cols, remap)
-        caps = PlanCaps(
-            num_dense_windows=max(p.num_dense_windows for p in probe),
-            num_tiles=max(p.num_tiles for p in probe),
-            num_sparse_rows=max(p.num_sparse_rows for p in probe),
-            num_sparse_edges=max(p.num_sparse_edges for p in probe),
-        )
-        plans = shard_plans(lambda s: local_cols, remap, caps)
+        plans = shard_plans(lambda s: local_cols, remap, caps_of(probe))
     else:
         raise ValueError(f"unknown halo mode: {mode}")
 
@@ -180,7 +178,7 @@ def build_sharded_plan(
         n_padded=n_padded,
         rows_per_shard=rows_per,
         window_h=wh,
-        num_dense_windows=plans[0].num_dense_windows,
+        num_buckets=len(plans[0].bucket_widths),
         num_sparse_rows=plans[0].num_sparse_rows,
         mode=mode,
         stacked=stacked,

@@ -45,7 +45,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--impl", type=str, default="xla", choices=["xla", "pallas"])
     p.add_argument("--compute-dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])
-    p.add_argument("--tile-k", type=int, default=32)
+    p.add_argument("--bucket-widths", type=str, default="32,64,96,128,192,256",
+                   help="comma-separated dense window width buckets")
     p.add_argument("--synthetic-nodes", type=int, default=65536)
     p.add_argument("--synthetic-degree", type=float, default=8.0)
     p.add_argument("--checkpoint", type=str, default="")
@@ -75,7 +76,7 @@ def main(argv=None) -> int:
 
     ds = load_dataset(args)
     cfg = PlanConfig(
-        tile_k=args.tile_k,
+        bucket_widths=tuple(int(v) for v in getattr(args, "bucket_widths").split(",")),
         loi_mode=getattr(args, "loi_mode"),
         compute_dtype=getattr(args, "compute_dtype"),
         impl=args.impl,

@@ -66,25 +66,28 @@ def test_empty_windows_and_partial_tail():
 
 def test_plan_shapes_and_padding():
     rp, ci, nn = small_graph(100, 6)
-    cfg = PlanConfig(loi_mode="all_dense", tile_k=8)
+    cfg = PlanConfig(loi_mode="all_dense", bucket_widths=(8, 16, 32, 512))
     plan = build_plan(rp, ci, nn, cfg)
-    assert plan.num_tiles % cfg.group == 0
-    assert plan.tile_cols.shape == (plan.num_tiles, 8)
-    assert plan.tile_a.shape == (plan.num_tiles, 16, 8)
-    # padded column entries point at the dummy zero row
-    pad_mask = plan.tile_cols == nn
-    assert (plan.tile_a[~np.repeat(pad_mask[:, None, :], 16, 1)] >= 0).all()
-    # every real column id is < num_nodes
-    assert plan.tile_cols.max() <= nn
-    # A-tile nnz matches graph nnz on the dense path
-    assert int(plan.tile_a.sum()) == plan.dense_nnz == len(ci)
+    for b, kb in enumerate(plan.bucket_widths):
+        assert plan.bucket_cols[b].shape[1] == kb
+        assert plan.bucket_a[b].shape[1:] == (16, kb)
+        # every real column id is <= num_nodes (== is the dummy)
+        assert plan.bucket_cols[b].max() <= nn
+        # unique counts of windows in this bucket fit the width
+        for w, wid in enumerate(plan.bucket_window_ids[b]):
+            row_cols = plan.bucket_cols[b][w]
+            assert (row_cols < nn).sum() <= kb
+    # A nnz across buckets matches graph nnz on the all-dense path
+    total_a = sum(int(a.sum()) for a in plan.bucket_a)
+    assert total_a == plan.dense_nnz == len(ci)
 
 
 def test_plan_merge_covers_all_rows():
     rp, ci, nn = small_graph(77, 4)
     plan = build_plan(rp, ci, nn, PlanConfig(loi_mode="intended"))
     assert plan.out_perm.shape == (nn,)
-    limit = plan.num_dense_windows * plan.window_h + plan.num_sparse_rows + 1
+    limit = (sum(plan.bucket_capacities) * plan.window_h
+             + plan.num_sparse_rows + 1)
     assert plan.out_perm.max() < limit
     # rows of nonempty windows map to unique slots
     nonzero = plan.out_perm[plan.out_perm != limit - 1]

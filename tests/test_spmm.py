@@ -39,17 +39,19 @@ def test_unaligned_num_nodes():
     check(rp, ci, nn, 5)
 
 
-def test_wide_window_overflows_tile_k():
-    """A hub row with degree >> tile_k forces multi-tile windows — the case
-    that silently overflows the reference's MAX_BLK=3/S_SIZE=62 smem caps."""
+def test_wide_window_exceeds_bucket_cap():
+    """A hub row with degree beyond the last bucket width must fall back to
+    the sparse path — the case that silently overflows the reference's
+    MAX_BLK=3/S_SIZE=62 smem caps."""
     n = 48
     src = np.concatenate([np.zeros(40, np.int32), np.array([17], np.int32)])
     dst = np.concatenate([np.arange(1, 41, dtype=np.int32), np.array([3], np.int32)])
     src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
     rp, ci = io.to_csr(src, dst, n)
-    op = check(rp, ci, n, 9, PlanConfig(loi_mode="all_dense", tile_k=8))
-    assert (op.plan.tile_seg[: op.plan.num_tiles] ==
-            np.sort(op.plan.tile_seg[: op.plan.num_tiles])).all()
+    op = check(rp, ci, n, 9, PlanConfig(loi_mode="all_dense", bucket_widths=(8, 16)))
+    # window 0 has ~41 unique cols > 16 -> routed sparse despite all_dense
+    assert op.plan.sparse_nnz > 0
+    assert op.plan.num_dense_windows < 3
 
 
 def test_empty_graph_rows():
