@@ -63,6 +63,12 @@ class PlanConfig:
     # for the MXU.  Windows wider than the last bucket go to the sparse
     # path (the reference similarly caps at MAX_BLK*8 columns).
     bucket_widths: Sequence[int] = (32, 64, 96, 128, 192, 256)
+    # Degree buckets for the sparse (gather + row-sum) path: a sparse-window
+    # row of degree d is padded to the smallest ELL width >= d and computed
+    # as a scatter-free gather + axis-sum (the warp-per-row CSR loop of
+    # hybrid_all_kernel.cu:964-1036, vectorized).  Rows wider than the last
+    # width fall back to a residual sorted segment-sum.
+    ell_widths: Sequence[int] = (4, 8, 16, 32, 64, 128, 256)
     # LOI mode: 'intended' | 'degenerate' | 'calibrated' | 'all_dense'
     # | 'all_sparse'.  'degenerate' reproduces the reference's live line
     # (hybrid_all_kernel.cu:262, missing `> 0`) for bit-parity experiments.

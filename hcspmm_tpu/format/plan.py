@@ -54,6 +54,7 @@ class PlanCaps:
     single uniform-shaped ``shard_map`` program (see parallel.partition)."""
 
     bucket_windows: Tuple[int, ...] = ()   # per-bucket min window counts
+    ell_rows: Tuple[int, ...] = ()         # per-ELL-bucket min row counts
     num_sparse_rows: int = 0
     num_sparse_edges: int = 0
 
@@ -76,7 +77,12 @@ class ExecutionPlan:
     bucket_a: List[np.ndarray]           # int8  [Wb, window_h, Kb], binary
     bucket_window_ids: List[np.ndarray]  # int64 [Wb_real] global window ids
 
-    # ---- sparse (VPU) path ----
+    # ---- sparse (VPU) path: degree-bucketed ELL rows ----
+    ell_widths: Tuple[int, ...]          # De per bucket (ascending)
+    ell_cols: List[np.ndarray]           # int32 [Rb, De], padded with num_cols
+    ell_row_ids: List[np.ndarray]        # int64 [Rb_real] global row ids
+
+    # ---- residual scatter path (rows wider than ell_widths[-1]) ----
     num_sparse_rows: int         # Rs (>= 1; padded)
     num_sparse_edges: int        # Es (>= 1; padded)
     sparse_edge_col: np.ndarray  # int32 [Es], padded with num_cols
@@ -101,6 +107,10 @@ class ExecutionPlan:
     def bucket_capacities(self) -> Tuple[int, ...]:
         return tuple(c.shape[0] for c in self.bucket_cols)
 
+    @property
+    def ell_capacities(self) -> Tuple[int, ...]:
+        return tuple(c.shape[0] for c in self.ell_cols)
+
     def device_arrays(self):
         """The pytree of arrays an SpMM implementation needs on device."""
         d = {
@@ -111,6 +121,8 @@ class ExecutionPlan:
         for b in range(len(self.bucket_widths)):
             d[f"b{b}_cols"] = self.bucket_cols[b]
             d[f"b{b}_a"] = self.bucket_a[b]
+        for e in range(len(self.ell_widths)):
+            d[f"e{e}_cols"] = self.ell_cols[e]
         return d
 
 
@@ -192,21 +204,56 @@ def build_plan(
         bucket_window_ids.append(wids)
         dense_gather_rows += wb * kb
 
-    # -------------------- sparse path --------------------
+    # -------------------- sparse path: ELL degree buckets --------------------
+    # Rows of sparse windows with degree > 0, bucketed by degree; rows wider
+    # than the last ELL width go to the residual scatter path.
+    ell_widths = tuple(config.ell_widths)
+    degrees = np.diff(np.asarray(row_pointers, dtype=np.int64))
+    sparse_row_mask = np.zeros(n, dtype=bool)
     sparse_window_ids = np.where(sparse_mask_w)[0].astype(np.int64)
-    if len(sparse_window_ids) > 0:
-        srows = (sparse_window_ids[:, None] * wh + np.arange(wh)[None, :]).reshape(-1)
-        srows = srows[srows < n]
-    else:
-        srows = np.zeros(0, dtype=np.int64)
+    if len(sparse_window_ids):
+        rows_all = (
+            sparse_window_ids[:, None] * wh + np.arange(wh)[None, :]
+        ).reshape(-1)
+        rows_all = rows_all[rows_all < n]
+        sparse_row_mask[rows_all] = True
+    sparse_row_mask &= degrees > 0
+
+    rp64 = np.asarray(row_pointers, dtype=np.int64)
+    ell_bucket_of = np.searchsorted(np.asarray(ell_widths), degrees)
+    caps_e = caps.ell_rows or (0,) * len(ell_widths)
+    if len(caps_e) != len(ell_widths):
+        raise ValueError("caps.ell_rows length must match ell_widths")
+
+    ell_cols: List[np.ndarray] = []
+    ell_row_ids: List[np.ndarray] = []
+    for e, de in enumerate(ell_widths):
+        rows_e = np.where(sparse_row_mask & (ell_bucket_of == e))[0].astype(np.int64)
+        rb = max(len(rows_e), caps_e[e], 1)
+        cols = np.full((rb, de), c, dtype=np.int32)
+        if len(rows_e):
+            degs = degrees[rows_e]
+            flat_r = np.repeat(np.arange(len(rows_e)), degs)
+            flat_o = np.concatenate([np.arange(d) for d in degs])
+            flat_v = np.concatenate(
+                [column_index[rp64[r]: rp64[r + 1]] for r in rows_e]
+            ).astype(np.int32)
+            cols[flat_r, flat_o] = flat_v
+        ell_cols.append(cols)
+        ell_row_ids.append(rows_e)
+        dense_gather_rows += rb * de
+
+    # -------------------- residual scatter path --------------------
+    resid_mask = sparse_row_mask & (ell_bucket_of >= len(ell_widths))
+    srows = np.where(resid_mask)[0].astype(np.int64)
     rs_real = len(srows)
     rpos = np.full(n + 1, -1, dtype=np.int64)
     if rs_real:
         rpos[srows] = np.arange(rs_real)
 
-    for_sparse = sparse_mask_w[wa.edge_to_window]
-    s_cols = column_index[for_sparse].astype(np.int32)
-    s_segs = rpos[wa.edge_to_row[for_sparse].astype(np.int64)].astype(np.int32)
+    for_resid = resid_mask[wa.edge_to_row]
+    s_cols = column_index[for_resid].astype(np.int32)
+    s_segs = rpos[wa.edge_to_row[for_resid].astype(np.int64)].astype(np.int32)
 
     rs = max(rs_real, 1, caps.num_sparse_rows)
     es = max(len(s_cols), 1, caps.num_sparse_edges)
@@ -215,13 +262,18 @@ def build_plan(
     sparse_edge_seg = _pad_to(s_segs, es, rs)
 
     # -------------------- merge permutation --------------------
-    # concat layout: [bucket0 Wb0*wh rows][bucket1 ...][sparse Rs][1 zero row]
-    bucket_row_offsets = np.zeros(len(widths) + 1, dtype=np.int64)
+    # concat layout: [dense buckets Wb*wh rows each][ELL buckets Rb rows
+    # each][residual Rs rows][1 zero row]
+    off = 0
+    bucket_row_offsets = []
     for b in range(len(widths)):
-        bucket_row_offsets[b + 1] = (
-            bucket_row_offsets[b] + bucket_cols[b].shape[0] * wh
-        )
-    sparse_off = int(bucket_row_offsets[-1])
+        bucket_row_offsets.append(off)
+        off += bucket_cols[b].shape[0] * wh
+    ell_row_offsets = []
+    for e in range(len(ell_widths)):
+        ell_row_offsets.append(off)
+        off += ell_cols[e].shape[0]
+    sparse_off = off
     zero_at = sparse_off + rs
     out_perm = np.full(n, zero_at, dtype=np.int64)
     for b in range(len(widths)):
@@ -232,6 +284,10 @@ def build_plan(
         dpos = bucket_row_offsets[b] + np.arange(len(wids) * wh)
         in_range = real < n
         out_perm[real[in_range]] = dpos[in_range]
+    for e in range(len(ell_widths)):
+        rows_e = ell_row_ids[e]
+        if len(rows_e):
+            out_perm[rows_e] = ell_row_offsets[e] + np.arange(len(rows_e))
     if rs_real:
         out_perm[srows] = sparse_off + np.arange(rs_real)
 
@@ -244,6 +300,9 @@ def build_plan(
         bucket_cols=bucket_cols,
         bucket_a=bucket_a,
         bucket_window_ids=bucket_window_ids,
+        ell_widths=ell_widths,
+        ell_cols=ell_cols,
+        ell_row_ids=ell_row_ids,
         num_sparse_rows=rs,
         num_sparse_edges=es,
         sparse_edge_col=sparse_edge_col,

@@ -74,27 +74,36 @@ def _dense_path_xla(arrs, xp, num_buckets: int, window_h: int, compute_dtype):
     return outs
 
 
-def _sparse_path_xla(arrs, xp, num_sparse_rows: int, compute_dtype):
-    """Gather + sorted segment-sum: the CUDA-core warp-per-row equivalent
-    (.cu:964-1036) expressed as an edge-parallel reduction."""
+def _sparse_path_xla(arrs, xp, num_ell: int, num_sparse_rows: int, compute_dtype):
+    """Scatter-free ELL path + residual segment-sum: the CUDA-core
+    warp-per-row equivalent (.cu:964-1036).  Each degree bucket is one
+    gather + one axis-sum; only rows wider than every ELL bucket fall back
+    to a (slow on TPU) sorted scatter-add."""
+    outs = []
+    for e in range(num_ell):
+        xe = jnp.take(xp, arrs[f"e{e}_cols"], axis=0)      # [Rb, De, D]
+        outs.append(xe.astype(jnp.float32).sum(axis=1))    # [Rb, D]
     xe = jnp.take(xp, arrs["sparse_edge_col"], axis=0)     # [Es, D]
-    out = jax.ops.segment_sum(
-        xe.astype(jnp.float32),
-        arrs["sparse_edge_seg"],
-        num_segments=num_sparse_rows + 1,
-        indices_are_sorted=True,
-    )[:num_sparse_rows]
-    return out
+    outs.append(
+        jax.ops.segment_sum(
+            xe.astype(jnp.float32),
+            arrs["sparse_edge_seg"],
+            num_segments=num_sparse_rows + 1,
+            indices_are_sorted=True,
+        )[:num_sparse_rows]
+    )
+    return outs
 
 
-def _spmm_xla(arrs, x, *, num_buckets, window_h, num_sparse_rows, compute_dtype):
+def _spmm_xla(arrs, x, *, num_buckets, num_ell, window_h, num_sparse_rows,
+              compute_dtype):
     n, d = x.shape
     xp = jnp.concatenate([x, jnp.zeros((1, d), x.dtype)])  # dummy zero row at N
     xp = xp.astype(compute_dtype)
     dense_flats = _dense_path_xla(arrs, xp, num_buckets, window_h, compute_dtype)
-    sparse_out = _sparse_path_xla(arrs, xp, num_sparse_rows, compute_dtype)
+    sparse_outs = _sparse_path_xla(arrs, xp, num_ell, num_sparse_rows, compute_dtype)
     allrows = jnp.concatenate(
-        dense_flats + [sparse_out, jnp.zeros((1, d), sparse_out.dtype)]
+        dense_flats + sparse_outs + [jnp.zeros((1, d), jnp.float32)]
     )
     return jnp.take(allrows, arrs["out_perm"], axis=0).astype(x.dtype)
 
@@ -130,12 +139,14 @@ def make_spmm(
     elif impl == "xla":
         fwd_impl = functools.partial(
             _spmm_xla, arrs_f,
-            num_buckets=len(plan.bucket_widths), window_h=plan.window_h,
+            num_buckets=len(plan.bucket_widths), num_ell=len(plan.ell_widths),
+            window_h=plan.window_h,
             num_sparse_rows=plan.num_sparse_rows, compute_dtype=cd,
         )
         bwd_impl = functools.partial(
             _spmm_xla, arrs_b,
-            num_buckets=len(pb.bucket_widths), window_h=pb.window_h,
+            num_buckets=len(pb.bucket_widths), num_ell=len(pb.ell_widths),
+            window_h=pb.window_h,
             num_sparse_rows=pb.num_sparse_rows, compute_dtype=cd,
         )
     else:

@@ -36,6 +36,7 @@ def _local_spmm(arrs, x_view, sharded: ShardedPlan, compute_dtype):
         arrs,
         x_view,
         num_buckets=sharded.num_buckets,
+        num_ell=sharded.num_ell,
         window_h=sharded.window_h,
         num_sparse_rows=sharded.num_sparse_rows,
         compute_dtype=compute_dtype,

@@ -45,6 +45,7 @@ class ShardedPlan:
     rows_per_shard: int
     window_h: int
     num_buckets: int        # dense width buckets (uniform across shards)
+    num_ell: int            # ELL degree buckets (uniform across shards)
     num_sparse_rows: int    # uniform per-shard count
     mode: str               # 'allgather' | 'halo'
 
@@ -105,9 +106,13 @@ def build_sharded_plan(
 
     def caps_of(probe):
         nb = len(probe[0].bucket_widths)
+        ne = len(probe[0].ell_widths)
         return PlanCaps(
             bucket_windows=tuple(
                 max(p.bucket_capacities[b] for p in probe) for b in range(nb)
+            ),
+            ell_rows=tuple(
+                max(p.ell_capacities[e] for p in probe) for e in range(ne)
             ),
             num_sparse_rows=max(p.num_sparse_rows for p in probe),
             num_sparse_edges=max(p.num_sparse_edges for p in probe),
@@ -179,6 +184,7 @@ def build_sharded_plan(
         rows_per_shard=rows_per,
         window_h=wh,
         num_buckets=len(plans[0].bucket_widths),
+        num_ell=len(plans[0].ell_widths),
         num_sparse_rows=plans[0].num_sparse_rows,
         mode=mode,
         stacked=stacked,

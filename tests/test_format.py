@@ -87,7 +87,7 @@ def test_plan_merge_covers_all_rows():
     plan = build_plan(rp, ci, nn, PlanConfig(loi_mode="intended"))
     assert plan.out_perm.shape == (nn,)
     limit = (sum(plan.bucket_capacities) * plan.window_h
-             + plan.num_sparse_rows + 1)
+             + sum(plan.ell_capacities) + plan.num_sparse_rows + 1)
     assert plan.out_perm.max() < limit
     # rows of nonempty windows map to unique slots
     nonzero = plan.out_perm[plan.out_perm != limit - 1]
