@@ -88,7 +88,7 @@ def main() -> int:
                 "dtype": dtype,
                 "mode": mode,
                 "impl": impl,
-                "dense_windows": op.plan.num_dense_windows_real,
+                "dense_windows": op.plan.num_dense_windows,
                 "total_windows": (nn + 15) // 16,
                 "prep_s": round(prep_s, 3),
                 "graphgen_s": round(gen_s, 3),

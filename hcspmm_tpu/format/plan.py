@@ -48,6 +48,24 @@ def _pad_to(x: np.ndarray, size: int, fill) -> np.ndarray:
     return np.concatenate([x, pad])
 
 
+def _ragged_arange(lens: np.ndarray) -> np.ndarray:
+    """Vectorized ``concat([arange(l) for l in lens])``."""
+    lens = np.asarray(lens, dtype=np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    starts = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    return np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+
+
+def _ragged_gather(values: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Vectorized ``concat([values[s:s+l] for s, l in zip(starts, lens)])``."""
+    lens = np.asarray(lens, dtype=np.int64)
+    idx = np.repeat(np.asarray(starts, dtype=np.int64), lens) + _ragged_arange(lens)
+    return values[idx]
+
+
 @dataclasses.dataclass(frozen=True)
 class PlanCaps:
     """Minimum array extents, so per-shard plans of one graph stack into a
@@ -185,10 +203,8 @@ def build_plan(
             u_start = wa.unique_ptr[wids]
             u_cnt = wa.unique_counts[wids].astype(np.int64)
             flat_rows = np.repeat(np.arange(len(wids)), u_cnt)
-            flat_off = np.concatenate([np.arange(k) for k in u_cnt]) if len(wids) else []
-            flat_vals = np.concatenate(
-                [wa.unique_cols[s: s + k] for s, k in zip(u_start, u_cnt)]
-            )
+            flat_off = _ragged_arange(u_cnt)
+            flat_vals = _ragged_gather(wa.unique_cols, u_start, u_cnt)
             cols[flat_rows, flat_off] = flat_vals
             # fill A from edges of this bucket's windows
             sel = dense_mask_w[wa.edge_to_window] & (bucket_of[wa.edge_to_window] == b)
@@ -234,10 +250,8 @@ def build_plan(
         if len(rows_e):
             degs = degrees[rows_e]
             flat_r = np.repeat(np.arange(len(rows_e)), degs)
-            flat_o = np.concatenate([np.arange(d) for d in degs])
-            flat_v = np.concatenate(
-                [column_index[rp64[r]: rp64[r + 1]] for r in rows_e]
-            ).astype(np.int32)
+            flat_o = _ragged_arange(degs)
+            flat_v = _ragged_gather(column_index, rp64[rows_e], degs).astype(np.int32)
             cols[flat_r, flat_o] = flat_v
         ell_cols.append(cols)
         ell_row_ids.append(rows_e)

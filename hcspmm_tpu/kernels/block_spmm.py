@@ -1,0 +1,242 @@
+"""Pallas TPU kernels for hybrid SpMM: fused gather + block matmul.
+
+TPU-native re-design of the reference's hybrid CUDA kernel family
+(hybrid_all_kernel.cu:919-1637).  The reference's two populations map to:
+
+- **dense (MXU) bucket kernel** — the WMMA/tensor-core path equivalent
+  (.cu:1385-1472).  Per grid step a group of G row windows is processed:
+  the window's unique neighbour rows of X are DMA'd HBM->VMEM row-by-row
+  with a lookahead pipeline (the analog of the reference's cooperative
+  transposed smem loads, .cu:1441-1447 / paper Fig. 6), then one batched
+  ``[G,16,Kb] @ [G,Kb,D]`` MXU contraction produces the window outputs.
+  Fusing the gather into the kernel means the gathered ``[Wb,Kb,D]``
+  operand never round-trips HBM (the XLA impl materializes it).
+
+- **ELL (VPU) bucket kernel** — the CUDA-core warp-per-row path equivalent
+  (.cu:964-1036).  Per grid step a group of R rows with degree <= De gathers
+  its neighbour rows and reduces with a VPU axis-sum.
+
+The residual scatter rows (degree above every ELL width) and the final
+merge permutation stay in XLA (tiny fraction of work; see ops.spmm).
+
+All kernels run in interpret mode automatically off-TPU so the same tests
+exercise them on the CPU mesh (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _interpret() -> bool:
+    return jax.devices()[0].platform != "tpu"
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+# ---------------------------------------------------------------------------
+# gather pipeline: row-by-row HBM->VMEM DMA with lookahead
+# ---------------------------------------------------------------------------
+
+
+def _gather_rows(cols_ref, x_hbm, xg, sems, *, total: int, kb: int, la: int):
+    """DMA ``total`` rows ``x_hbm[cols_ref[t // kb, t % kb]]`` into
+    ``xg[t // kb, t % kb]`` keeping up to ``la`` copies in flight."""
+
+    def make_dma(t, slot):
+        w = t // kb
+        k = t % kb
+        idx = cols_ref[w, k]
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(idx, 1), :],
+            xg.at[w, pl.ds(k, 1), :],
+            sems.at[slot],
+        )
+
+    n_pro = min(la, total)
+
+    def prologue(t, _):
+        make_dma(t, t % la).start()
+        return _
+
+    jax.lax.fori_loop(0, n_pro, prologue, None, unroll=True)
+
+    def body(t, _):
+        make_dma(t, t % la).wait()
+        nxt = t + la
+
+        @pl.when(nxt < total)
+        def _start():
+            make_dma(nxt, nxt % la).start()
+
+        return _
+
+    jax.lax.fori_loop(0, total, body, None)
+
+
+# ---------------------------------------------------------------------------
+# dense (MXU) bucket kernel
+# ---------------------------------------------------------------------------
+
+
+def _dense_kernel(cols_ref, a_ref, x_hbm, out_ref, xg, sems, *,
+                  group, kb, la, precision):
+    _gather_rows(cols_ref, x_hbm, xg, sems, total=group * kb, kb=kb, la=la)
+    out_ref[:] = jax.lax.dot_general(
+        a_ref[:].astype(xg.dtype),
+        xg[:],
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+
+
+def dense_bucket_spmm(cols, a, xp, *, window_h: int, group: int = 8,
+                      lookahead: int = 16):
+    """``out[w] = a[w] @ xp[cols[w]]`` for one width bucket.
+
+    cols: int32 [Wb, Kb] neighbour row ids (padded entries point at the
+          zero row of xp); a: int8 [Wb, wh, Kb] binary block-rows;
+    xp: [N+1, D] features (already in compute dtype, zero row appended).
+    Returns fp32 [Wb, wh, D].
+    """
+    wb, kb = cols.shape
+    n1, d = xp.shape
+    wh = window_h
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if xp.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    group = min(group, wb)
+    wbp = _cdiv(wb, group) * group
+    if wbp != wb:
+        cols = jnp.concatenate(
+            [cols, jnp.full((wbp - wb, kb), n1 - 1, cols.dtype)]
+        )
+        a = jnp.concatenate([a, jnp.zeros((wbp - wb, wh, kb), a.dtype)])
+
+    la = min(lookahead, group * kb)
+    out = pl.pallas_call(
+        functools.partial(
+            _dense_kernel, group=group, kb=kb, la=la, precision=precision
+        ),
+        grid=(wbp // group,),
+        in_specs=[
+            pl.BlockSpec((group, kb), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((group, wh, kb), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((group, wh, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((wbp, wh, d), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((group, kb, d), xp.dtype),
+            pltpu.SemaphoreType.DMA((la,)),
+        ],
+        interpret=_interpret(),
+    )(cols, a, xp)
+    return out[:wb]
+
+
+# ---------------------------------------------------------------------------
+# ELL (VPU) bucket kernel
+# ---------------------------------------------------------------------------
+
+
+def _ell_kernel(cols_ref, x_hbm, out_ref, xg, sems, *, rows, de, la):
+    _gather_rows(cols_ref, x_hbm, xg, sems, total=rows * de, kb=de, la=la)
+    out_ref[:] = jnp.sum(xg[:].astype(jnp.float32), axis=1)
+
+
+def ell_bucket_spmm(cols, xp, *, rows_per_step: int = 0, lookahead: int = 16):
+    """``out[r] = sum_k xp[cols[r, k]]`` for one ELL degree bucket.
+
+    cols: int32 [Rb, De] (padded entries point at the zero row).
+    Returns fp32 [Rb, D].
+    """
+    rb, de = cols.shape
+    n1, d = xp.shape
+    if rows_per_step <= 0:
+        rows_per_step = max(8, 2048 // de)
+    r = min(rows_per_step, rb)
+    rbp = _cdiv(rb, r) * r
+    if rbp != rb:
+        cols = jnp.concatenate(
+            [cols, jnp.full((rbp - rb, de), n1 - 1, cols.dtype)]
+        )
+    la = min(lookahead, r * de)
+    out = pl.pallas_call(
+        functools.partial(_ell_kernel, rows=r, de=de, la=la),
+        grid=(rbp // r,),
+        in_specs=[
+            pl.BlockSpec((r, de), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((r, d), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rbp, d), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((r, de, d), xp.dtype),
+            pltpu.SemaphoreType.DMA((la,)),
+        ],
+        interpret=_interpret(),
+    )(cols, xp)
+    return out[:rb]
+
+
+# ---------------------------------------------------------------------------
+# full hybrid SpMM (pallas paths + XLA residual/merge)
+# ---------------------------------------------------------------------------
+
+
+def spmm_pallas(arrs, x, plan, compute_dtype):
+    """Drop-in for ops.spmm._spmm_xla with Pallas hot paths."""
+    n, d = x.shape
+    # Row-granular DMA needs the lane dimension aligned to the 128-wide
+    # vector registers; pad features up (a 384-byte row read costs a full
+    # 512-byte HBM transaction regardless, so the padding is ~free).
+    dp = _cdiv(d, 128) * 128
+    xp = jnp.concatenate([x, jnp.zeros((1, d), x.dtype)])
+    if dp != d:
+        xp = jnp.pad(xp, ((0, 0), (0, dp - d)))
+    # Sub-32-bit rows cannot be DMA'd at single-row granularity (VMEM packs
+    # sublane pairs); stage gathers in an f32 container.  A 128-lane row is
+    # one 512-byte HBM transaction either way, so this costs nothing for
+    # D <= 128.  TODO(packed-bf16): two-rows-per-f32 packing for D >= 256.
+    if jnp.dtype(compute_dtype).itemsize < 4:
+        xp = xp.astype(jnp.float32)
+    else:
+        xp = xp.astype(compute_dtype)
+
+    outs = []
+    for b in range(len(plan.bucket_widths)):
+        part = dense_bucket_spmm(
+            arrs[f"b{b}_cols"], arrs[f"b{b}_a"], xp, window_h=plan.window_h
+        )
+        wb = part.shape[0]
+        outs.append(part.reshape(wb * plan.window_h, dp)[:, :d])
+    for e in range(len(plan.ell_widths)):
+        outs.append(ell_bucket_spmm(arrs[f"e{e}_cols"], xp)[:, :d])
+
+    # residual scatter rows: sorted segment-sum in XLA (tiny population)
+    xe = jnp.take(xp[:, :d], arrs["sparse_edge_col"], axis=0)
+    outs.append(
+        jax.ops.segment_sum(
+            xe.astype(jnp.float32),
+            arrs["sparse_edge_seg"],
+            num_segments=plan.num_sparse_rows + 1,
+            indices_are_sorted=True,
+        )[: plan.num_sparse_rows]
+    )
+    allrows = jnp.concatenate(outs + [jnp.zeros((1, d), jnp.float32)])
+    return jnp.take(allrows, arrs["out_perm"], axis=0).astype(x.dtype)
