@@ -1,0 +1,230 @@
+"""Graph layout reordering (LOA) — the offline preprocessing step that
+regroups rows into denser windows (reference: standalone LOI.cpp binary,
+invoked via text files; report §V-B, Alg. 5/6).
+
+Here it is a library call with two backends:
+
+- **native** (preferred): ``native/loa.cpp`` compiled on first use into a
+  shared library and driven through ctypes.  Same greedy
+  computing-intensity maximization as the reference's
+  ``reorder_plus_new_direct`` (LOI.cpp:660-805).
+- **numpy fallback**: a vectorized-ish pure-Python implementation with the
+  same objective, used when no compiler is available (slower; fine for
+  tests and small graphs).
+
+Also provides ``rcm_reorder`` (reverse Cuthill-McKee via scipy) — the
+bandwidth-minimizing ordering that feeds the TPU *banded* execution path
+(no reference equivalent; the GPU gets this reuse implicitly from L2).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import tempfile
+from typing import Optional, Tuple
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_SRC = os.path.join(_REPO_ROOT, "native", "loa.cpp")
+_LIB_CACHE: Optional[ctypes.CDLL] = None
+_LIB_FAILED = False
+
+
+def _build_lib() -> Optional[ctypes.CDLL]:
+    """Compile native/loa.cpp to a cached shared library (g++ -O3)."""
+    global _LIB_CACHE, _LIB_FAILED
+    if _LIB_CACHE is not None:
+        return _LIB_CACHE
+    if _LIB_FAILED or not os.path.exists(_SRC):
+        return None
+    so_path = os.path.join(
+        tempfile.gettempdir(),
+        f"hcspmm_loa_{os.getuid()}_{int(os.path.getmtime(_SRC))}.so",
+    )
+    if not os.path.exists(so_path):
+        try:
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                 "-o", so_path, _SRC],
+                check=True, capture_output=True, timeout=120,
+            )
+        except (subprocess.SubprocessError, FileNotFoundError):
+            _LIB_FAILED = True
+            return None
+    try:
+        lib = ctypes.CDLL(so_path)
+    except OSError:
+        _LIB_FAILED = True
+        return None
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.loa_reorder.argtypes = [i32p, i32p, i32p, i32p,
+                                ctypes.c_int32, ctypes.c_int32,
+                                ctypes.c_int32, ctypes.c_int32, i32p]
+    lib.loa_reorder.restype = ctypes.c_int32
+    lib.window_stats.argtypes = [i32p, i32p, ctypes.c_int32,
+                                 ctypes.c_int32, i32p, i32p]
+    lib.window_stats.restype = ctypes.c_int32
+    _LIB_CACHE = lib
+    return lib
+
+
+def _as_i32(x) -> np.ndarray:
+    return np.ascontiguousarray(np.asarray(x), dtype=np.int32)
+
+
+def _ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def loa_reorder_py(rp, ci, rp_in, ci_in, n: int, window_h: int = 16,
+                   max_cols: int = 0, hub_cap: int = 0) -> np.ndarray:
+    """Pure-NumPy greedy LOA (same objective as the native version)."""
+    rp = np.asarray(rp, dtype=np.int64)
+    ci = np.asarray(ci, dtype=np.int64)
+    rp_in = np.asarray(rp_in, dtype=np.int64)
+    ci_in = np.asarray(ci_in, dtype=np.int64)
+    if max_cols <= 0:
+        max_cols = np.iinfo(np.int64).max
+    if hub_cap <= 0:
+        hub_cap = np.iinfo(np.int64).max
+    visited = np.zeros(n, dtype=bool)
+    perm = np.empty(n, dtype=np.int32)
+    pos = 0
+    indeg = np.diff(rp_in)
+    deg = np.diff(rp)
+    next_seed = 0
+    cns: dict = {}
+    while pos < n:
+        while next_seed < n and visited[next_seed]:
+            next_seed += 1
+        if next_seed >= n:
+            break
+        seed = next_seed
+        visited[seed] = True
+        perm[pos] = seed
+        pos += 1
+        cols = set(ci[rp[seed]: rp[seed + 1]].tolist())
+        cur_eles = int(deg[seed])
+        cns = {}
+
+        def add_incidence(new_cols):
+            # sorted iteration matches the native version's candidate
+            # insertion order, so first-max tie-breaking agrees
+            for c in sorted(new_cols):
+                if indeg[c] > hub_cap:
+                    continue
+                for v in ci_in[rp_in[c]: rp_in[c + 1]]:
+                    if not visited[v]:
+                        cns[v] = cns.get(v, 0) + 1
+
+        add_incidence(cols)
+        for _ in range(window_h - 1):
+            best, best_profit = -1, 0.0
+            for v, c in cns.items():
+                if visited[v]:
+                    continue
+                ones = cur_eles + int(deg[v])
+                rows = max(1, len(cols) + int(deg[v]) - c)
+                p = ones / rows
+                if p > best_profit:
+                    best, best_profit = int(v), p
+            if best < 0:
+                break
+            nb = set(ci[rp[best]: rp[best + 1]].tolist())
+            new_cols = nb - cols
+            if len(cols) + len(new_cols) > max_cols and cols:
+                break
+            visited[best] = True
+            perm[pos] = best
+            pos += 1
+            cur_eles += int(deg[best])
+            cols |= new_cols
+            add_incidence(new_cols)
+    return perm
+
+
+def loa_reorder(row_pointers, column_index, num_nodes: int,
+                window_h: int = 16, max_cols: int = 0, hub_cap: int = 4096,
+                symmetric: bool = True, backend: str = "auto") -> np.ndarray:
+    """Greedy LOA row permutation; ``perm[new_row] = old_row``."""
+    rp = _as_i32(row_pointers)
+    ci = _as_i32(column_index)
+    if symmetric:
+        rp_in, ci_in = rp, ci
+    else:
+        from hcspmm_tpu.format.plan import transpose_csr
+
+        rp_in, ci_in = transpose_csr(rp, ci, num_nodes)
+        rp_in, ci_in = _as_i32(rp_in), _as_i32(ci_in)
+
+    lib = _build_lib() if backend in ("auto", "native") else None
+    if backend == "native" and lib is None:
+        raise RuntimeError("native LOA backend unavailable (g++ failed?)")
+    if lib is not None:
+        perm = np.empty(num_nodes, dtype=np.int32)
+        rc = lib.loa_reorder(_ptr(rp), _ptr(ci), _ptr(rp_in), _ptr(ci_in),
+                             num_nodes, window_h, max_cols, hub_cap,
+                             _ptr(perm))
+        if rc != 0:
+            raise RuntimeError(f"loa_reorder failed rc={rc}")
+        return perm
+    return loa_reorder_py(rp, ci, rp_in, ci_in, num_nodes, window_h,
+                          max_cols, hub_cap)
+
+
+def rcm_reorder(row_pointers, column_index, num_nodes: int) -> np.ndarray:
+    """Reverse Cuthill-McKee ordering (bandwidth minimizer) for the banded
+    execution path; ``perm[new_row] = old_row``."""
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    a = sp.csr_matrix(
+        (np.ones(len(column_index), dtype=np.int8),
+         _as_i32(column_index), _as_i32(row_pointers)),
+        shape=(num_nodes, num_nodes),
+    )
+    return np.asarray(
+        reverse_cuthill_mckee(a, symmetric_mode=True), dtype=np.int32
+    )
+
+
+def apply_permutation(row_pointers, column_index, num_nodes: int,
+                      perm: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Relabel vertices: returns CSR of ``A[perm][:, perm]``.
+
+    (The reference feeds its permutation back through text files and
+    reloads, HC-SpMM_main.py:19 / LOI.cpp:853-891.)
+    """
+    import scipy.sparse as sp
+
+    a = sp.csr_matrix(
+        (np.ones(len(column_index), dtype=np.int8),
+         _as_i32(column_index), _as_i32(row_pointers)),
+        shape=(num_nodes, num_nodes),
+    )
+    a = a[perm][:, perm].tocsr()
+    a.sort_indices()
+    return a.indptr.astype(np.int32), a.indices.astype(np.int32)
+
+
+def window_intensity(row_pointers, column_index, num_nodes: int,
+                     window_h: int = 16) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-window (nnz, unique_cols) — the LOA objective report."""
+    rp = _as_i32(row_pointers)
+    ci = _as_i32(column_index)
+    num_windows = (num_nodes + window_h - 1) // window_h
+    lib = _build_lib()
+    if lib is not None:
+        nnz = np.empty(num_windows, dtype=np.int32)
+        uniq = np.empty(num_windows, dtype=np.int32)
+        rc = lib.window_stats(_ptr(rp), _ptr(ci), num_nodes, window_h,
+                              _ptr(nnz), _ptr(uniq))
+        if rc == 0:
+            return nnz, uniq
+    from hcspmm_tpu.format.windows import analyze_windows
+
+    wa = analyze_windows(rp, ci, num_nodes, window_h=window_h)
+    return wa.edge_counts, wa.unique_counts

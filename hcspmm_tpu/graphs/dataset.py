@@ -116,6 +116,30 @@ class GraphDataset:
         """Number of stored CSR entries (duplicates merged)."""
         return int(self.row_pointers[-1])
 
+    def permuted(self, perm: np.ndarray) -> "GraphDataset":
+        """Vertex relabeling: graph, features, labels, masks all follow
+        ``perm[new_id] = old_id`` (the reference round-trips this through
+        reorder_direct.txt, LOI.cpp:853-891)."""
+        import dataclasses as _dc
+
+        from hcspmm_tpu.format.reorder import apply_permutation
+
+        rp, ci = apply_permutation(
+            self.row_pointers, self.column_index, self.num_nodes, perm
+        )
+        take = lambda a: None if a is None else a[perm]
+        return _dc.replace(
+            self,
+            row_pointers=rp,
+            column_index=ci,
+            x=self.x[perm],
+            y=self.y[perm],
+            train_mask=take(self.train_mask),
+            val_mask=take(self.val_mask),
+            test_mask=take(self.test_mask),
+            degrees_sqrt=take(self.degrees_sqrt),
+        )
+
     def dense_adjacency(self) -> np.ndarray:
         """Binary dense adjacency for oracle tests (small graphs only)."""
         a = np.zeros((self.num_nodes, self.num_nodes), dtype=np.float32)

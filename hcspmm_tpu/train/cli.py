@@ -47,6 +47,11 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["float32", "bfloat16"])
     p.add_argument("--bucket-widths", type=str, default="32,64,96,128,192,256",
                    help="comma-separated dense window width buckets")
+    p.add_argument("--reorder", type=str, default="none",
+                   choices=["none", "loa", "rcm"],
+                   help="graph layout reordering (LOA = reference LOI.cpp "
+                        "greedy; rcm = bandwidth-minimizing for the banded "
+                        "path)")
     p.add_argument("--synthetic-nodes", type=int, default=65536)
     p.add_argument("--synthetic-degree", type=float, default=8.0)
     p.add_argument("--checkpoint", type=str, default="")
@@ -83,6 +88,16 @@ def main(argv=None) -> int:
     )
 
     start = time.perf_counter()
+    if args.reorder != "none":
+        from hcspmm_tpu.format import reorder as _reorder
+
+        fn = (_reorder.loa_reorder if args.reorder == "loa"
+              else _reorder.rcm_reorder)
+        perm = fn(ds.row_pointers, ds.column_index, ds.num_nodes)
+        ds = ds.permuted(perm)
+        reorder_ms = (time.perf_counter() - start) * 1e3
+        logger.log(event="reorder", mode=args.reorder, reorder_ms=reorder_ms)
+        start = time.perf_counter()
     op = HybridSpMM(ds.row_pointers, ds.column_index, ds.num_nodes, cfg)
     prep_ms = (time.perf_counter() - start) * 1e3
     print("Prep. (ms):\t{:.3f}".format(prep_ms))

@@ -1,0 +1,82 @@
+"""LOA reorderer: native C++ vs NumPy oracle, objective improvement,
+permutation validity, SpMM invariance under relabeling (SURVEY.md §4.1)."""
+
+import numpy as np
+import pytest
+
+from hcspmm_tpu.format import reorder
+from hcspmm_tpu.graphs import io
+
+from conftest import small_graph
+
+
+def _intensity(rp, ci, n, wh=16):
+    nnz, uniq = reorder.window_intensity(rp, ci, n, wh)
+    mask = uniq > 0
+    return float(nnz[mask].sum() / uniq[mask].sum())
+
+
+def test_native_lib_builds():
+    assert reorder._build_lib() is not None, "g++ build of native/loa.cpp failed"
+
+
+def test_perm_is_valid_permutation():
+    rp, ci, nn = small_graph(200, 6, span=64)
+    perm = reorder.loa_reorder(rp, ci, nn)
+    assert sorted(perm.tolist()) == list(range(nn))
+
+
+def test_native_matches_python_backend():
+    rp, ci, nn = small_graph(150, 5, span=48)
+    p_native = reorder.loa_reorder(rp, ci, nn, backend="native")
+    p_py = reorder.loa_reorder_py(rp, ci, rp, ci, nn)
+    np.testing.assert_array_equal(p_native, p_py)
+
+
+def test_loa_improves_intensity():
+    # scatter rows so natural windows share few columns, then reorder
+    rng = np.random.RandomState(0)
+    src, dst, nn = io.synthetic_graph(400, 8, seed=3, span=200)
+    rp, ci = io.to_csr(src, dst, nn)
+    before = _intensity(rp, ci, nn)
+    perm = reorder.loa_reorder(rp, ci, nn)
+    rp2, ci2 = reorder.apply_permutation(rp, ci, nn, perm)
+    after = _intensity(rp2, ci2, nn)
+    assert after > before, (before, after)
+
+
+def test_rcm_reduces_bandwidth():
+    src, dst, nn = io.synthetic_graph(300, 6, seed=1, span=150)
+    rp, ci = io.to_csr(src, dst, nn)
+
+    def bandwidth(rp, ci, n):
+        rows = np.repeat(np.arange(n), np.diff(rp))
+        return int(np.abs(rows - ci).max()) if len(ci) else 0
+
+    perm = reorder.rcm_reorder(rp, ci, nn)
+    rp2, ci2 = reorder.apply_permutation(rp, ci, nn, perm)
+    assert bandwidth(rp2, ci2, nn) <= bandwidth(rp, ci, nn)
+
+
+def test_spmm_invariant_under_relabeling():
+    import jax
+
+    from hcspmm_tpu.config import PlanConfig
+    from hcspmm_tpu.ops.spmm import HybridSpMM
+
+    rp, ci, nn = small_graph(120, 6, span=60)
+    x = np.random.RandomState(0).randn(nn, 24).astype(np.float32)
+    z0 = np.asarray(jax.jit(HybridSpMM(rp, ci, nn, PlanConfig()))(x))
+
+    perm = reorder.loa_reorder(rp, ci, nn)
+    rp2, ci2 = reorder.apply_permutation(rp, ci, nn, perm)
+    z1 = np.asarray(jax.jit(HybridSpMM(rp2, ci2, nn, PlanConfig()))(x[perm]))
+    np.testing.assert_allclose(z1, z0[perm], rtol=1e-4, atol=1e-4)
+
+
+def test_zero_degree_rows_appended():
+    # rows with no edges must still appear in the permutation
+    rp = np.array([0, 2, 2, 4, 4], dtype=np.int32)
+    ci = np.array([2, 3, 0, 1], dtype=np.int32)
+    perm = reorder.loa_reorder(rp, ci, 4, window_h=2)
+    assert sorted(perm.tolist()) == [0, 1, 2, 3]
