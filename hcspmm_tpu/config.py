@@ -69,6 +69,26 @@ class PlanConfig:
     # hybrid_all_kernel.cu:964-1036, vectorized).  Rows wider than the last
     # width fall back to a residual sorted segment-sum.
     ell_widths: Sequence[int] = (4, 8, 16, 32, 64, 128, 256)
+    # ---- banded (MXU block-band) path: TPU-native third population ----
+    # Rows are grouped into superwindows of band_h consecutive rows; a
+    # superwindow whose neighbour-column extent fits a band width bucket
+    # streams its X band with ONE contiguous DMA and computes
+    # out = A_band[band_h, Bb] @ band[Bb, D] on the MXU.  This is the TPU
+    # analog of the GPU reference's implicit L2 locality (its 5.3 TB/s
+    # effective bandwidth on DD comes from cached X rows): after
+    # LOA/RCM reordering most superwindows have small extent.  No
+    # per-row gather at all; cost is nnz-independent (H*Bb int8 A stream
+    # + one band fetch).  Empty tuple disables the path.
+    band_h: int = 256
+    band_widths: Sequence[int] = (256, 512, 1024, 2048)
+    # 'auto' uses the cost model below; 'always' takes every superwindow
+    # whose extent fits a bucket; 'never' disables the banded path.
+    band_mode: str = "auto"
+    # Cost-model constants for the band-vs-gather decision, measured on
+    # v5e (see format.loi.decide_band): seconds per gathered ELL slot on
+    # the XLA take path, and effective HBM GB/s for streamed band/A bytes.
+    gather_ns_per_row: float = 7.0
+    stream_gbps: float = 500.0
     # LOI mode: 'intended' | 'degenerate' | 'calibrated' | 'all_dense'
     # | 'all_sparse'.  'degenerate' reproduces the reference's live line
     # (hybrid_all_kernel.cu:262, missing `> 0`) for bit-parity experiments.

@@ -17,6 +17,16 @@ window space at preprocessing time into statically-shaped populations
   contraction.  Profiling on v5e showed XLA's scatter at ~41 GB/s was the
   single largest cost of a tile+segment-sum design; buckets eliminate it.
 
+- **Banded (MXU block-band) path** — a TPU-native population with no
+  reference equivalent: superwindows of ``band_h`` consecutive rows whose
+  column extent fits a band-width bucket Bb become one dense int8 block
+  ``A_band [band_h, Bb]`` against a *contiguous* X slice
+  ``[start, start+Bb)``.  One sequential DMA replaces every per-row
+  gather; this is the explicit-VMEM analog of the L2 locality the GPU
+  reference gets for free (its DD numbers imply ~5.3 TB/s effective —
+  pure cache reuse).  Selected by a measured cost model
+  (config.gather_ns_per_row / stream_gbps) against the gather paths.
+
 - **Sparse (VPU) path** — windows that are empty, LOI-classified
   memory-bound, or wider than the largest bucket keep CSR semantics:
   gather one X row per edge and a sorted segment-sum into output rows
@@ -73,6 +83,7 @@ class PlanCaps:
 
     bucket_windows: Tuple[int, ...] = ()   # per-bucket min window counts
     ell_rows: Tuple[int, ...] = ()         # per-ELL-bucket min row counts
+    band_supers: Tuple[int, ...] = ()      # per-band-bucket min superwindows
     num_sparse_rows: int = 0
     num_sparse_edges: int = 0
 
@@ -110,16 +121,36 @@ class ExecutionPlan:
     # ---- merge ----
     out_perm: np.ndarray         # int32 [N] -> row in concat(buckets..., sparse, zero)
 
+    # ---- banded (MXU block-band) path: one entry per band-width bucket ----
+    band_h: int = 16                          # superwindow height (rows)
+    band_widths: Tuple[int, ...] = ()         # Bb per bucket (ascending)
+    band_starts: List[np.ndarray] = dataclasses.field(default_factory=list)
+    #   int32 [Sb] sublane-aligned X row offsets of each superwindow band
+    band_a: List[np.ndarray] = dataclasses.field(default_factory=list)
+    #   int8 [Sb, band_h, Bb] binary band blocks
+    band_sw_ids: List[np.ndarray] = dataclasses.field(default_factory=list)
+    #   int64 [Sb_real] global superwindow ids
+    xp_rows: int = 0            # SpMM impls pad X to >= this many rows
+
     # ---- stats (host-only; for roofline/logging) ----
     nnz: int = 0
     dense_nnz: int = 0
     sparse_nnz: int = 0
+    band_nnz: int = 0
     dense_gather_rows: int = 0   # sum Wb * Kb (inc. padding)
     unique_gather_rows: int = 0  # sum unique cols over dense windows
 
     @property
     def num_dense_windows(self) -> int:
         return sum(len(w) for w in self.bucket_window_ids)
+
+    @property
+    def num_band_supers(self) -> int:
+        return sum(len(s) for s in self.band_sw_ids)
+
+    @property
+    def band_capacities(self) -> Tuple[int, ...]:
+        return tuple(s.shape[0] for s in self.band_starts)
 
     @property
     def bucket_capacities(self) -> Tuple[int, ...]:
@@ -141,6 +172,9 @@ class ExecutionPlan:
             d[f"b{b}_a"] = self.bucket_a[b]
         for e in range(len(self.ell_widths)):
             d[f"e{e}_cols"] = self.ell_cols[e]
+        for s in range(len(self.band_widths)):
+            d[f"band{s}_start"] = self.band_starts[s]
+            d[f"band{s}_a"] = self.band_a[s]
         return d
 
 
@@ -171,11 +205,117 @@ def build_plan(
     column_index = np.asarray(column_index, dtype=np.int64)
     nnz = int(len(wa.edge_to_row))
 
+    rp64 = np.asarray(row_pointers, dtype=np.int64)
+    degrees = np.diff(rp64)
+
+    # -------------------- banded superwindows --------------------
+    # Decide, per band_h-row superwindow, whether its whole column extent
+    # streams as one contiguous block (see module docstring).  Selected
+    # superwindows own all their windows/rows; the remaining populations
+    # are carved from what is left.
+    band_widths = tuple(config.band_widths) if config.band_mode != "never" else ()
+    bh = config.band_h
+    if band_widths and bh % wh != 0:
+        raise ValueError("band_h must be a multiple of window_h")
+    num_sw = (n + bh - 1) // bh if band_widths else 0
+    band_starts: List[np.ndarray] = []
+    band_a: List[np.ndarray] = []
+    band_sw_ids: List[np.ndarray] = []
+    band_window_mask = np.zeros(wa.num_windows, dtype=bool)
+    band_row_mask = np.zeros(n, dtype=bool)
+    xp_rows = c + 1
+    band_nnz = 0
+    caps_s = caps.band_supers or (0,) * len(band_widths)
+    if len(caps_s) != len(band_widths):
+        raise ValueError("caps.band_supers length must match band_widths")
+    if band_widths:
+        # even zero-real (capacity-padded) buckets DMA a dummy band from
+        # row 0, so X must always cover the widest bucket
+        xp_rows = max(xp_rows, int(band_widths[-1]))
+        sw_row0 = np.minimum(np.arange(num_sw, dtype=np.int64) * bh, n)
+        sw_row1 = np.minimum(sw_row0 + bh, n)
+        e_start = rp64[sw_row0]
+        e_end = rp64[sw_row1]
+        nonempty = e_end > e_start
+        min_col = np.full(num_sw, 0, dtype=np.int64)
+        max_col = np.full(num_sw, -1, dtype=np.int64)
+        ne = np.where(nonempty)[0]
+        if len(ne):
+            min_col[ne] = np.minimum.reduceat(column_index, e_start[ne])
+            max_col[ne] = np.maximum.reduceat(column_index, e_start[ne])
+        start = (min_col // 16) * 16  # sublane-aligned band start
+        extent = max_col - start + 1
+        bucket_sw = np.searchsorted(np.asarray(band_widths), extent)
+        fits = nonempty & (bucket_sw < len(band_widths))
+
+        if config.band_mode == "always":
+            band_sel = fits
+        else:
+            # measured cost model: band streams H*Bb int8 of A plus one
+            # Bb-row f32-container band of X; the alternative gathers one
+            # padded ELL slot per edge on the XLA take path.
+            ell_w = np.asarray(config.ell_widths, dtype=np.int64)
+            slot = np.where(
+                degrees > 0,
+                ell_w[np.minimum(np.searchsorted(ell_w, degrees), len(ell_w) - 1)],
+                0,
+            )
+            slot = np.where(degrees > ell_w[-1], degrees, slot)
+            slots_sw = np.add.reduceat(
+                np.concatenate([slot, [0]]), sw_row0
+            ) * (sw_row1 > sw_row0)
+            bb_arr = np.asarray(band_widths + (band_widths[-1],))[
+                np.minimum(bucket_sw, len(band_widths))
+            ]
+            dnom, xbytes = 128.0, 4.0
+            band_cost = (bh * bb_arr + bb_arr * dnom * xbytes) / (
+                config.stream_gbps * 1e9
+            )
+            sparse_cost = slots_sw * config.gather_ns_per_row * 1e-9
+            band_sel = fits & (band_cost < sparse_cost)
+
+        sw_pos = np.full(num_sw, -1, dtype=np.int64)
+        for s, bbw in enumerate(band_widths):
+            sws = np.where(band_sel & (bucket_sw == s))[0].astype(np.int64)
+            # zero-capacity when empty (impls skip the kernel launch);
+            # caps force a min capacity for uniform shard stacking
+            sb = max(len(sws), caps_s[s])
+            starts_arr = np.zeros(sb, dtype=np.int32)
+            a = np.zeros((sb, bh, bbw), dtype=np.int8)
+            if len(sws):
+                sw_pos[sws] = np.arange(len(sws))
+                starts_arr[: len(sws)] = start[sws].astype(np.int32)
+                xp_rows = max(xp_rows, int((start[sws] + bbw).max()))
+                # mark ownership
+                rows = (
+                    sws[:, None] * bh + np.arange(bh)[None, :]
+                ).reshape(-1)
+                rows = rows[rows < n]
+                band_row_mask[rows] = True
+                # fill A from edges of selected superwindows in this bucket
+                sw_of_edge = wa.edge_to_row.astype(np.int64) // bh
+                sel_e = band_sel[sw_of_edge] & (bucket_sw[sw_of_edge] == s)
+                e_sw = sw_of_edge[sel_e]
+                a.reshape(-1)[
+                    sw_pos[e_sw] * (bh * bbw)
+                    + (wa.edge_to_row[sel_e].astype(np.int64) % bh) * bbw
+                    + (column_index[sel_e] - start[e_sw])
+                ] = 1
+                band_nnz += int(sel_e.sum())
+            band_starts.append(starts_arr)
+            band_a.append(a)
+            band_sw_ids.append(sws)
+        w_of = (np.arange(wa.num_windows, dtype=np.int64) * wh) // bh
+        band_window_mask = band_sel[w_of]
+
     kmax = widths[-1]
     dense_mask_w = (
-        (wa.hybrid_type == 1) & (wa.edge_counts > 0) & (wa.unique_counts <= kmax)
+        (wa.hybrid_type == 1)
+        & (wa.edge_counts > 0)
+        & (wa.unique_counts <= kmax)
+        & ~band_window_mask
     )
-    sparse_mask_w = ~dense_mask_w & (wa.edge_counts > 0)
+    sparse_mask_w = ~dense_mask_w & (wa.edge_counts > 0) & ~band_window_mask
 
     # -------------------- dense buckets --------------------
     # bucket index per dense window: smallest Kb >= unique_count
@@ -193,7 +333,7 @@ def build_plan(
     unique_gather_rows = 0
     for b, kb in enumerate(widths):
         wids = np.where(dense_mask_w & (bucket_of == b))[0].astype(np.int64)
-        wb = max(len(wids), caps_b[b], 1)
+        wb = max(len(wids), caps_b[b])
         cols = np.full((wb, kb), c, dtype=np.int32)
         a = np.zeros((wb, wh, kb), dtype=np.int8)
         if len(wids):
@@ -224,7 +364,6 @@ def build_plan(
     # Rows of sparse windows with degree > 0, bucketed by degree; rows wider
     # than the last ELL width go to the residual scatter path.
     ell_widths = tuple(config.ell_widths)
-    degrees = np.diff(np.asarray(row_pointers, dtype=np.int64))
     sparse_row_mask = np.zeros(n, dtype=bool)
     sparse_window_ids = np.where(sparse_mask_w)[0].astype(np.int64)
     if len(sparse_window_ids):
@@ -235,7 +374,6 @@ def build_plan(
         sparse_row_mask[rows_all] = True
     sparse_row_mask &= degrees > 0
 
-    rp64 = np.asarray(row_pointers, dtype=np.int64)
     ell_bucket_of = np.searchsorted(np.asarray(ell_widths), degrees)
     caps_e = caps.ell_rows or (0,) * len(ell_widths)
     if len(caps_e) != len(ell_widths):
@@ -245,7 +383,7 @@ def build_plan(
     ell_row_ids: List[np.ndarray] = []
     for e, de in enumerate(ell_widths):
         rows_e = np.where(sparse_row_mask & (ell_bucket_of == e))[0].astype(np.int64)
-        rb = max(len(rows_e), caps_e[e], 1)
+        rb = max(len(rows_e), caps_e[e])
         cols = np.full((rb, de), c, dtype=np.int32)
         if len(rows_e):
             degs = degrees[rows_e]
@@ -276,9 +414,14 @@ def build_plan(
     sparse_edge_seg = _pad_to(s_segs, es, rs)
 
     # -------------------- merge permutation --------------------
-    # concat layout: [dense buckets Wb*wh rows each][ELL buckets Rb rows
-    # each][residual Rs rows][1 zero row]
+    # concat layout: [band buckets Sb*band_h rows each][dense buckets
+    # Wb*wh rows each][ELL buckets Rb rows each][residual Rs rows][1 zero
+    # row]
     off = 0
+    band_row_offsets = []
+    for s in range(len(band_widths)):
+        band_row_offsets.append(off)
+        off += band_starts[s].shape[0] * bh
     bucket_row_offsets = []
     for b in range(len(widths)):
         bucket_row_offsets.append(off)
@@ -290,6 +433,14 @@ def build_plan(
     sparse_off = off
     zero_at = sparse_off + rs
     out_perm = np.full(n, zero_at, dtype=np.int64)
+    for s in range(len(band_widths)):
+        sws = band_sw_ids[s]
+        if not len(sws):
+            continue
+        real = (sws[:, None] * bh + np.arange(bh)[None, :]).reshape(-1)
+        dpos = band_row_offsets[s] + np.arange(len(sws) * bh)
+        in_range = real < n
+        out_perm[real[in_range]] = dpos[in_range]
     for b in range(len(widths)):
         wids = bucket_window_ids[b]
         if not len(wids):
@@ -310,6 +461,13 @@ def build_plan(
         num_nodes=n,
         num_cols=c,
         window_h=wh,
+        band_h=bh,
+        band_widths=band_widths,
+        band_starts=band_starts,
+        band_a=band_a,
+        band_sw_ids=band_sw_ids,
+        xp_rows=xp_rows,
+        band_nnz=band_nnz,
         bucket_widths=widths,
         bucket_cols=bucket_cols,
         bucket_a=bucket_a,
@@ -325,7 +483,7 @@ def build_plan(
         out_perm=out_perm.astype(np.int32),
         nnz=nnz,
         dense_nnz=dense_nnz,
-        sparse_nnz=nnz - dense_nnz,
+        sparse_nnz=nnz - dense_nnz - band_nnz,
         dense_gather_rows=dense_gather_rows,
         unique_gather_rows=unique_gather_rows,
     )

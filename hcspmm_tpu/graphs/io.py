@@ -64,6 +64,48 @@ def to_csr(
     return csr.indptr.astype(np.int32), csr.indices.astype(np.int32)
 
 
+def synthetic_blocks(
+    num_nodes: int,
+    avg_degree: float,
+    block_size: int = 300,
+    seed: int = 0,
+    shuffle: bool = True,
+    symmetric: bool = True,
+) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Block-diagonal community graph — the structure of the reference's
+    molecular datasets (DD/PROTEINS/Yeast are unions of small disjoint
+    graphs, report Table II), which is what makes them locality-friendly.
+
+    ``shuffle=True`` scrambles vertex ids so the locality is *latent*:
+    layout reordering (format.reorder LOA/RCM) has to rediscover it, as it
+    would on real downloads.
+    """
+    rng = np.random.RandomState(seed)
+    num_blocks = max(1, num_nodes // block_size)
+    bounds = np.linspace(0, num_nodes, num_blocks + 1).astype(np.int64)
+    sizes = np.diff(bounds)
+    num_edges = int(num_nodes * avg_degree) // (2 if symmetric else 1)
+    # edges per block proportional to its size
+    counts = rng.multinomial(num_edges, sizes / sizes.sum())
+    src_parts, dst_parts = [], []
+    for b, cnt in enumerate(counts):
+        if cnt == 0 or sizes[b] < 2:
+            continue
+        lo, hi = bounds[b], bounds[b + 1]
+        src_parts.append(rng.randint(lo, hi, size=cnt))
+        dst_parts.append(rng.randint(lo, hi, size=cnt))
+    src = np.concatenate(src_parts)
+    dst = np.concatenate(dst_parts)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    if shuffle:
+        perm = rng.permutation(num_nodes)
+        src, dst = perm[src], perm[dst]
+    if symmetric:
+        src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
+    return src.astype(np.int32), dst.astype(np.int32), num_nodes
+
+
 def synthetic_graph(
     num_nodes: int,
     avg_degree: float,

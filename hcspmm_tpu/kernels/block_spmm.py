@@ -195,6 +195,82 @@ def ell_bucket_spmm(cols, xp, *, rows_per_step: int = 0, lookahead: int = 16):
 
 
 # ---------------------------------------------------------------------------
+# banded (MXU block-band) kernel
+# ---------------------------------------------------------------------------
+
+
+def _band_kernel(starts_ref, a_ref, x_hbm, out_ref, band, sems, *,
+                 bb, precision):
+    i = pl.program_id(0)
+    s = pl.num_programs(0)
+
+    def get_dma(j, slot):
+        # plan-side band starts are 16-aligned; the hint lets Mosaic prove
+        # sublane-tile divisibility of the dynamic HBM slice
+        start = pl.multiple_of(starts_ref[j], 16)
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(start, bb), :],
+            band.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(i == 0)
+    def _():
+        get_dma(0, 0).start()
+
+    @pl.when(i + 1 < s)
+    def _():
+        get_dma(i + 1, (i + 1) % 2).start()
+
+    get_dma(i, i % 2).wait()
+    out_ref[0] = jnp.dot(
+        a_ref[0].astype(band.dtype),
+        band[i % 2],
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+
+
+def band_bucket_spmm(starts, a, xp):
+    """``out[s] = a[s] @ xp[starts[s] : starts[s]+Bb]`` for one band-width
+    bucket: ONE contiguous double-buffered DMA per superwindow instead of
+    per-row gathers — the explicit-VMEM analog of the reference GPU's L2
+    locality on reordered graphs.
+
+    starts: int32 [Sb] sublane-aligned; a: int8 [Sb, bh, Bb]; xp: [>=max
+    start+Bb, D].  Returns fp32 [Sb, bh, D].
+    """
+    sb, bh, bb = a.shape
+    _, d = xp.shape
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if xp.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(sb,),
+        in_specs=[
+            pl.BlockSpec((1, bh, bb), lambda i, s_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, bh, d), lambda i, s_: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, bb, d), xp.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_band_kernel, bb=bb, precision=precision),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((sb, bh, d), jnp.float32),
+        interpret=_interpret(),
+    )(starts, a, xp)
+
+
+# ---------------------------------------------------------------------------
 # full hybrid SpMM (pallas paths + XLA residual/merge)
 # ---------------------------------------------------------------------------
 
@@ -206,26 +282,44 @@ def spmm_pallas(arrs, x, plan, compute_dtype):
     # vector registers; pad features up (a 384-byte row read costs a full
     # 512-byte HBM transaction regardless, so the padding is ~free).
     dp = _cdiv(d, 128) * 128
-    xp = jnp.concatenate([x, jnp.zeros((1, d), x.dtype)])
+    pad_rows = max(plan.xp_rows - n, 1)
+    xp = jnp.concatenate([x, jnp.zeros((pad_rows, d), x.dtype)])
     if dp != d:
         xp = jnp.pad(xp, ((0, 0), (0, dp - d)))
     # Sub-32-bit rows cannot be DMA'd at single-row granularity (VMEM packs
-    # sublane pairs); stage gathers in an f32 container.  A 128-lane row is
-    # one 512-byte HBM transaction either way, so this costs nothing for
-    # D <= 128.  TODO(packed-bf16): two-rows-per-f32 packing for D >= 256.
+    # sublane pairs); stage row-gathers in an f32 container.  A 128-lane
+    # row is one 512-byte HBM transaction either way, so this costs nothing
+    # for D <= 128.  TODO(packed-bf16): two-rows-per-f32 packing, D >= 256.
+    # The banded path DMAs *contiguous 16-aligned* slices, so it keeps the
+    # true compute dtype (bf16 halves its band traffic).
+    xp_band = xp.astype(compute_dtype)
     if jnp.dtype(compute_dtype).itemsize < 4:
         xp = xp.astype(jnp.float32)
     else:
-        xp = xp.astype(compute_dtype)
+        xp = xp_band
 
     outs = []
+    for s in range(len(plan.band_widths)):
+        if arrs[f"band{s}_start"].shape[0] == 0:  # empty bucket: no kernel
+            outs.append(jnp.zeros((0, d), jnp.float32))
+            continue
+        part = band_bucket_spmm(arrs[f"band{s}_start"], arrs[f"band{s}_a"],
+                                xp_band)
+        sb = part.shape[0]
+        outs.append(part.reshape(sb * plan.band_h, dp)[:, :d])
     for b in range(len(plan.bucket_widths)):
+        if arrs[f"b{b}_cols"].shape[0] == 0:
+            outs.append(jnp.zeros((0, d), jnp.float32))
+            continue
         part = dense_bucket_spmm(
             arrs[f"b{b}_cols"], arrs[f"b{b}_a"], xp, window_h=plan.window_h
         )
         wb = part.shape[0]
         outs.append(part.reshape(wb * plan.window_h, dp)[:, :d])
     for e in range(len(plan.ell_widths)):
+        if arrs[f"e{e}_cols"].shape[0] == 0:
+            outs.append(jnp.zeros((0, d), jnp.float32))
+            continue
         outs.append(ell_bucket_spmm(arrs[f"e{e}_cols"], xp)[:, :d])
 
     # residual scatter rows: sorted segment-sum in XLA (tiny population)

@@ -37,6 +37,35 @@ def _dtype(name: str):
     return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[name]
 
 
+def _band_path_xla(arrs, xp, num_band: int, band_h: int, compute_dtype):
+    """Banded MXU path: contiguous X slice per superwindow, one batched
+    block-dense matmul per band-width bucket.  The XLA fallback expresses
+    the contiguous slice as a structured gather; the Pallas kernel
+    (kernels.block_spmm) replaces it with one sequential DMA."""
+    d = xp.shape[1]
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if compute_dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    outs = []
+    for s in range(num_band):
+        starts = arrs[f"band{s}_start"]                    # [Sb]
+        a = arrs[f"band{s}_a"].astype(compute_dtype)       # [Sb, bh, Bb]
+        sb, bh, bb = a.shape
+        idx = starts[:, None].astype(jnp.int32) + jnp.arange(bb, dtype=jnp.int32)
+        xg = jnp.take(xp, idx, axis=0)                     # [Sb, Bb, D]
+        part = jax.lax.dot_general(
+            a,
+            xg.astype(compute_dtype),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )                                                  # [Sb, bh, D]
+        outs.append(part.reshape(sb * bh, d))
+    return outs
+
+
 def _dense_path_xla(arrs, xp, num_buckets: int, window_h: int, compute_dtype):
     """Width-bucketed block-dense MXU path: per-bucket gather + one batched
     matmul, no scatter (reduction over column blocks folds into the dot).
@@ -95,15 +124,19 @@ def _sparse_path_xla(arrs, xp, num_ell: int, num_sparse_rows: int, compute_dtype
     return outs
 
 
-def _spmm_xla(arrs, x, *, num_buckets, num_ell, window_h, num_sparse_rows,
-              compute_dtype):
+def _spmm_xla(arrs, x, *, num_buckets, num_ell, num_band, window_h, band_h,
+              num_sparse_rows, xp_rows, compute_dtype):
     n, d = x.shape
-    xp = jnp.concatenate([x, jnp.zeros((1, d), x.dtype)])  # dummy zero row at N
+    # dummy zero row at N; extra zero rows up to xp_rows so band slices
+    # near the top of the column space stay in bounds
+    pad = max(xp_rows - n, 1)
+    xp = jnp.concatenate([x, jnp.zeros((pad, d), x.dtype)])
     xp = xp.astype(compute_dtype)
+    band_flats = _band_path_xla(arrs, xp, num_band, band_h, compute_dtype)
     dense_flats = _dense_path_xla(arrs, xp, num_buckets, window_h, compute_dtype)
     sparse_outs = _sparse_path_xla(arrs, xp, num_ell, num_sparse_rows, compute_dtype)
     allrows = jnp.concatenate(
-        dense_flats + sparse_outs + [jnp.zeros((1, d), jnp.float32)]
+        band_flats + dense_flats + sparse_outs + [jnp.zeros((1, d), jnp.float32)]
     )
     return jnp.take(allrows, arrs["out_perm"], axis=0).astype(x.dtype)
 
@@ -140,14 +173,16 @@ def make_spmm(
         fwd_impl = functools.partial(
             _spmm_xla, arrs_f,
             num_buckets=len(plan.bucket_widths), num_ell=len(plan.ell_widths),
-            window_h=plan.window_h,
-            num_sparse_rows=plan.num_sparse_rows, compute_dtype=cd,
+            num_band=len(plan.band_widths), window_h=plan.window_h,
+            band_h=plan.band_h, num_sparse_rows=plan.num_sparse_rows,
+            xp_rows=plan.xp_rows, compute_dtype=cd,
         )
         bwd_impl = functools.partial(
             _spmm_xla, arrs_b,
             num_buckets=len(pb.bucket_widths), num_ell=len(pb.ell_widths),
-            window_h=pb.window_h,
-            num_sparse_rows=pb.num_sparse_rows, compute_dtype=cd,
+            num_band=len(pb.band_widths), window_h=pb.window_h,
+            band_h=pb.band_h, num_sparse_rows=pb.num_sparse_rows,
+            xp_rows=pb.xp_rows, compute_dtype=cd,
         )
     else:
         raise ValueError(f"unknown impl: {impl}")

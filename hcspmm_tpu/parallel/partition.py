@@ -84,6 +84,11 @@ def build_sharded_plan(
 ) -> ShardedPlan:
     rp = np.asarray(row_pointers, dtype=np.int64)
     ci = np.asarray(column_index, dtype=np.int32)
+    # The banded path assumes the local X view is the global (or contiguous
+    # prefix) column space; halo remapping breaks contiguity, and uniform
+    # shard stacking of band blocks is future work — carve bands out of the
+    # distributed plans for now.
+    config = dataclasses.replace(config, band_mode="never")
     wh = config.window_h
     chunk = wh * num_shards
     n_padded = ((num_nodes + chunk - 1) // chunk) * chunk

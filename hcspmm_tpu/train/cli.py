@@ -74,9 +74,22 @@ def load_dataset(args) -> GraphDataset:
     )
 
 
+def enable_compile_cache() -> None:
+    """Persistent XLA/Mosaic compile cache — the axon tunnel costs 30-60 s
+    per module compile, so every entry point enables this."""
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.expanduser("~/.cache/jax_comp"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     print(args)
+    enable_compile_cache()
     logger = stdout_logger(dataset=args.dataset, model=args.model)
 
     ds = load_dataset(args)

@@ -66,11 +66,14 @@ def test_empty_windows_and_partial_tail():
 
 def test_plan_shapes_and_padding():
     rp, ci, nn = small_graph(100, 6)
-    cfg = PlanConfig(loi_mode="all_dense", bucket_widths=(8, 16, 32, 512))
+    cfg = PlanConfig(loi_mode="all_dense", bucket_widths=(8, 16, 32, 512),
+                     band_mode="never")
     plan = build_plan(rp, ci, nn, cfg)
     for b, kb in enumerate(plan.bucket_widths):
         assert plan.bucket_cols[b].shape[1] == kb
         assert plan.bucket_a[b].shape[1:] == (16, kb)
+        if plan.bucket_cols[b].shape[0] == 0:  # empty buckets have no arrays
+            continue
         # every real column id is <= num_nodes (== is the dummy)
         assert plan.bucket_cols[b].max() <= nn
         # unique counts of windows in this bucket fit the width
@@ -86,7 +89,8 @@ def test_plan_merge_covers_all_rows():
     rp, ci, nn = small_graph(77, 4)
     plan = build_plan(rp, ci, nn, PlanConfig(loi_mode="intended"))
     assert plan.out_perm.shape == (nn,)
-    limit = (sum(plan.bucket_capacities) * plan.window_h
+    limit = (sum(plan.band_capacities) * plan.band_h
+             + sum(plan.bucket_capacities) * plan.window_h
              + sum(plan.ell_capacities) + plan.num_sparse_rows + 1)
     assert plan.out_perm.max() < limit
     # rows of nonempty windows map to unique slots

@@ -48,7 +48,8 @@ def test_wide_window_exceeds_bucket_cap():
     dst = np.concatenate([np.arange(1, 41, dtype=np.int32), np.array([3], np.int32)])
     src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
     rp, ci = io.to_csr(src, dst, n)
-    op = check(rp, ci, n, 9, PlanConfig(loi_mode="all_dense", bucket_widths=(8, 16)))
+    op = check(rp, ci, n, 9, PlanConfig(loi_mode="all_dense", bucket_widths=(8, 16),
+                                        band_mode="never"))
     # window 0 has ~41 unique cols > 16 -> routed sparse despite all_dense
     assert op.plan.sparse_nnz > 0
     assert op.plan.num_dense_windows < 3
@@ -114,3 +115,50 @@ def test_jit_recompile_free_across_calls():
     z1 = f(x)
     z2 = f(x + 1)
     assert z1.shape == z2.shape == (nn, 8)
+
+
+def test_band_path_modes():
+    """Banded superwindows: always/auto/never all match the oracle, and
+    'always' actually routes locality-friendly rows to the band path."""
+    rp, ci, nn = small_graph(300, 6, span=16)
+    for bm in ("always", "auto", "never"):
+        op = check(rp, ci, nn, 24,
+                   PlanConfig(band_mode=bm, band_h=64, band_widths=(128, 256)))
+        if bm == "always":
+            assert op.plan.num_band_supers > 0
+            assert op.plan.band_nnz > 0
+        if bm == "never":
+            assert op.plan.num_band_supers == 0
+
+
+def test_band_on_block_graph_with_rcm():
+    """Shuffled block-diagonal graph + RCM reordering: the band path should
+    capture most nnz (the DD-style locality rediscovery)."""
+    from hcspmm_tpu.format import reorder as _ro
+    from hcspmm_tpu.graphs import io as _io
+
+    src, dst, nn = _io.synthetic_blocks(1024, 6, block_size=100, seed=3)
+    rp, ci = _io.to_csr(src, dst, nn)
+    perm = _ro.rcm_reorder(rp, ci, nn)
+    rp, ci = _ro.apply_permutation(rp, ci, nn, perm)
+    op = check(rp, ci, nn, 32,
+               PlanConfig(band_mode="always", band_h=128,
+                          band_widths=(128, 256, 512)))
+    assert op.plan.band_nnz > 0.5 * op.plan.nnz, (
+        op.plan.band_nnz, op.plan.nnz)
+
+
+def test_band_gradient():
+    import jax.numpy as jnp
+
+    rp, ci, nn = small_graph(200, 5, span=16)
+    cfg = PlanConfig(band_mode="always", band_h=64, band_widths=(64, 128))
+    op = HybridSpMM(rp, ci, nn, cfg)
+    x = jnp.asarray(np.random.RandomState(1).randn(nn, 16).astype(np.float32))
+    g = jax.grad(lambda v: (op(v) ** 2).sum())(x)
+    # backward = A^T(2Az) = 2 A A z for symmetric A
+    a = np.zeros((nn, nn), np.float64)
+    for r in range(nn):
+        a[r, ci[rp[r]: rp[r + 1]]] = 1.0
+    gref = 2 * a.T @ (a @ np.asarray(x, np.float64))
+    np.testing.assert_allclose(np.asarray(g), gref, rtol=1e-3, atol=1e-3)
