@@ -37,34 +37,9 @@ import time
 
 def chained_timer(fn, x, k1: int, k2: int, trials: int = 3):
     """Per-application seconds of ``fn`` via in-jit scan-chain differencing."""
-    import jax
-    import jax.numpy as jnp
+    from hcspmm_tpu.models.sag import chained_apply_time
 
-    def make(k):
-        @jax.jit
-        def g(xv):
-            def body(c, _):
-                o = fn(c)
-                upd = c[:8, :8] * (1 + o[0, 0].astype(c.dtype) * 1e-30)
-                c2 = jax.lax.dynamic_update_slice(c, upd, (0, 0))
-                return c2, o[0, 0]
-            _, outs = jax.lax.scan(body, xv, None, length=k)
-            return outs[-1]
-        return g
-
-    g1, g2 = make(k1), make(k2)
-    float(g1(x))
-    float(g2(x))
-
-    def best(g):
-        b = float("inf")
-        for _ in range(trials):
-            t0 = time.perf_counter()
-            float(g(x))
-            b = min(b, time.perf_counter() - t0)
-        return b
-
-    return (best(g2) - best(g1)) / (k2 - k1)
+    return chained_apply_time(fn, x, k1=k1, k2=k2, trials=trials)
 
 
 def main() -> int:

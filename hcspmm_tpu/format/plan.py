@@ -130,6 +130,8 @@ class ExecutionPlan:
     #   int8 [Sb, band_h, Bb] binary band blocks
     band_sw_ids: List[np.ndarray] = dataclasses.field(default_factory=list)
     #   int64 [Sb_real] global superwindow ids
+    band_full_cover: bool = False  # every superwindow band-assigned ->
+    #   direct-write kernels produce the output in place, no merge pass
     xp_rows: int = 0            # SpMM impls pad X to >= this many rows
 
     # ---- stats (host-only; for roofline/logging) ----
@@ -175,6 +177,7 @@ class ExecutionPlan:
         for s in range(len(self.band_widths)):
             d[f"band{s}_start"] = self.band_starts[s]
             d[f"band{s}_a"] = self.band_a[s]
+            d[f"band{s}_sw"] = self.band_sw_ids[s].astype(np.int32)
         return d
 
 
@@ -273,6 +276,14 @@ def build_plan(
             )
             sparse_cost = slots_sw * config.gather_ns_per_row * 1e-9
             band_sel = fits & (band_cost < sparse_cost)
+
+        # Full coverage: when every nonempty superwindow is band-selected,
+        # sweep the empty ones into the smallest bucket (zero A blocks) so
+        # the whole output is produced by direct-write band kernels and the
+        # merge permutation pass disappears (kernels.block_spmm).
+        if bool(band_sel[nonempty].all()) and bool(nonempty.any()):
+            band_sel = band_sel | ~nonempty
+        band_full_cover = bool(band_sel.all()) and len(band_sel) > 0
 
         sw_pos = np.full(num_sw, -1, dtype=np.int64)
         for s, bbw in enumerate(band_widths):
@@ -466,6 +477,7 @@ def build_plan(
         band_starts=band_starts,
         band_a=band_a,
         band_sw_ids=band_sw_ids,
+        band_full_cover=band_full_cover if band_widths else False,
         xp_rows=xp_rows,
         band_nnz=band_nnz,
         bucket_widths=widths,

@@ -270,6 +270,78 @@ def band_bucket_spmm(starts, a, xp):
     )(starts, a, xp)
 
 
+def _band_kernel_into(starts_ref, sw_ref, a_ref, x_hbm, buf_ref, out_ref,
+                      band, sems, *, bb, precision):
+    del buf_ref  # aliased to out_ref; untouched blocks pass through
+    i = pl.program_id(0)
+    s = pl.num_programs(0)
+
+    def get_dma(j, slot):
+        start = pl.multiple_of(starts_ref[j], 16)
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(start, bb), :],
+            band.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(i == 0)
+    def _():
+        get_dma(0, 0).start()
+
+    @pl.when(i + 1 < s)
+    def _():
+        get_dma(i + 1, (i + 1) % 2).start()
+
+    get_dma(i, i % 2).wait()
+    out_ref[0] = jnp.dot(
+        a_ref[0].astype(band.dtype),
+        band[i % 2],
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    ).astype(out_ref.dtype)
+
+
+def band_bucket_spmm_into(buf, sw_ids, starts, a, xp):
+    """Direct-write variant: superwindow ``sw_ids[i]``'s output lands at
+    ``buf[sw_ids[i]]`` (buf: [num_sw, bh, D], aliased in/out).  Chaining
+    one call per bucket assembles the full output with NO merge pass —
+    the reference needs none either (its thread blocks scatter straight
+    to global memory); this is the Pallas equivalent via a
+    scalar-prefetched output index_map + input/output aliasing.
+    """
+    sb, bh, bb = a.shape
+    _, d = xp.shape
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if xp.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # starts, sw_ids
+        grid=(sb,),
+        in_specs=[
+            pl.BlockSpec((1, bh, bb), lambda i, s_, w_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            # aliased output buffer: never read, never pipelined in
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, bh, d), lambda i, s_, w_: (w_[i], 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, bb, d), xp.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_band_kernel_into, bb=bb, precision=precision),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(buf.shape, buf.dtype),
+        input_output_aliases={4: 0},  # buf (after 2 scalar args, a, xp)
+        interpret=_interpret(),
+    )(starts, sw_ids, a, xp, buf)
+
+
 # ---------------------------------------------------------------------------
 # full hybrid SpMM (pallas paths + XLA residual/merge)
 # ---------------------------------------------------------------------------
@@ -297,6 +369,25 @@ def spmm_pallas(arrs, x, plan, compute_dtype):
         xp = xp.astype(jnp.float32)
     else:
         xp = xp_band
+
+    # Fast path: every superwindow is band-covered (typical after
+    # LOA/RCM reordering) -> direct-write kernels assemble the output in
+    # place; no concat, no merge gather (saves two full output passes).
+    full_direct = plan.band_full_cover and all(
+        len(plan.band_sw_ids[s]) == arrs[f"band{s}_start"].shape[0]
+        for s in range(len(plan.band_widths))
+    )
+    if full_direct:
+        num_sw = _cdiv(n, plan.band_h)
+        buf = jnp.zeros((num_sw, plan.band_h, dp), x.dtype)
+        for s in range(len(plan.band_widths)):
+            if arrs[f"band{s}_start"].shape[0] == 0:
+                continue
+            buf = band_bucket_spmm_into(
+                buf, arrs[f"band{s}_sw"], arrs[f"band{s}_start"],
+                arrs[f"band{s}_a"], xp_band,
+            )
+        return buf.reshape(num_sw * plan.band_h, dp)[:n, :d]
 
     outs = []
     for s in range(len(plan.band_widths)):

@@ -3,8 +3,15 @@
 The reference runs 200 rounds of the dim-32 fixed kernel through a
 throwaway autograd function and prints the average milliseconds; this is
 the harness behind the paper's single-kernel numbers (Fig. 10/Table XVI).
-Here the profiled op is the jitted hybrid SpMM; ``block_until_ready``
-replaces ``torch.cuda.synchronize``.
+
+Two timing modes:
+- ``method='chained'`` (default): K applications chained inside one jit
+  (a lax.scan with a scalar-only data dependency), reported as the
+  difference between two chain lengths.  Required on dispatch-latency
+  heavy backends (the axon tunnel adds ~35 ms per call, which swamps any
+  per-call measurement).
+- ``method='loop'``: the reference's naive host loop with
+  ``block_until_ready`` standing in for ``torch.cuda.synchronize``.
 """
 
 from __future__ import annotations
@@ -16,24 +23,68 @@ import jax
 import jax.numpy as jnp
 
 
+def chained_apply_time(fn: Callable, x: jnp.ndarray, k1: int = 2,
+                       k2: int = 12, trials: int = 3) -> float:
+    """Seconds per ``fn(x)`` measured inside one jit via scan-chaining.
+
+    If ``fn`` is a HybridSpMM-like op (has ``.arrays``/``.apply``), its plan
+    arrays are threaded through the jit as arguments — closure constants of
+    this size cost minutes of compile (ops.spmm.make_spmm docstring).
+    """
+    arrays = getattr(fn, "arrays", None)
+    apply_fn = (
+        (lambda a, v: fn.apply(a, v)) if arrays is not None
+        else (lambda a, v: fn(v))
+    )
+
+    def make(k):
+        @jax.jit
+        def g(arrs, xv):
+            def body(c, _):
+                o = apply_fn(arrs, c)
+                upd = c[:8, :8] * (1 + o[0, 0].astype(c.dtype) * 1e-30)
+                c2 = jax.lax.dynamic_update_slice(c, upd, (0, 0))
+                return c2, o[0, 0]
+            _, outs = jax.lax.scan(body, xv, None, length=k)
+            return outs[-1]
+        return g
+
+    g1, g2 = make(k1), make(k2)
+    float(g1(arrays, x))
+    float(g2(arrays, x))
+
+    def best(g):
+        b = float("inf")
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            float(g(arrays, x))
+            b = min(b, time.perf_counter() - t0)
+        return b
+
+    return (best(g2) - best(g1)) / (k2 - k1)
+
+
 class SAG:
     def __init__(self, spmm: Callable):
         self.spmm = spmm
         self._jitted = jax.jit(spmm)
 
-    def profile(self, x: jnp.ndarray, num_rounds: int = 200, warmup: int = 10) -> Dict:
+    def profile(self, x: jnp.ndarray, num_rounds: int = 200,
+                warmup: int = 10, method: str = "chained") -> Dict:
         x = jnp.asarray(x)
-        out = self._jitted(x)
-        for _ in range(max(warmup - 1, 0)):
+        if method == "chained":
+            avg_ms = chained_apply_time(self.spmm, x) * 1e3
             out = self._jitted(x)
-        out.block_until_ready()
-
-        start = time.perf_counter()
-        for _ in range(num_rounds):
+        else:
             out = self._jitted(x)
-        out.block_until_ready()
-        dur = time.perf_counter() - start
-
-        avg_ms = dur * 1e3 / num_rounds
+            for _ in range(max(warmup - 1, 0)):
+                out = self._jitted(x)
+            out.block_until_ready()
+            start = time.perf_counter()
+            for _ in range(num_rounds):
+                out = self._jitted(x)
+            out.block_until_ready()
+            avg_ms = (time.perf_counter() - start) * 1e3 / num_rounds
         print("=> SAG profiling avg (ms): {:.3f}".format(avg_ms))
-        return {"avg_ms": avg_ms, "rounds": num_rounds, "out": out}
+        return {"avg_ms": avg_ms, "rounds": num_rounds, "out": out,
+                "method": method}

@@ -141,61 +141,80 @@ def _spmm_xla(arrs, x, *, num_buckets, num_ell, num_band, window_h, band_h,
     return jnp.take(allrows, arrs["out_perm"], axis=0).astype(x.dtype)
 
 
+def _float0_zeros(tree):
+    """float0 cotangents for integer-dtype plan arrays."""
+    import jax.dtypes
+
+    return jax.tree.map(
+        lambda t: np.zeros(t.shape, jax.dtypes.float0), tree
+    )
+
+
 def make_spmm(
     plan: ExecutionPlan,
     plan_bwd: Optional[ExecutionPlan] = None,
     compute_dtype: str = "float32",
     impl: str = "xla",
-) -> Callable[[jnp.ndarray], jnp.ndarray]:
-    """Build a differentiable ``spmm(X) -> A @ X`` closure for one graph.
+) -> Callable:
+    """Build a differentiable ``spmm(arrs_f, arrs_b, X) -> A @ X`` for one
+    graph.  The plan arrays are *arguments*, not closure constants: a
+    closed-over 170 MB array costs minutes of XLA compile (it is serialized
+    into the module and constant-folded); as arguments the same program
+    compiles in under a second.  Callers thread ``HybridSpMM.arrays``
+    through their jit boundaries.
 
     ``plan_bwd=None`` reuses the forward plan in the VJP (the reference's
     symmetric-structure assumption); pass a plan built on A^T for exactness
     on directed graphs.
     """
     cd = _dtype(compute_dtype)
-    arrs_f = {k: jnp.asarray(v) for k, v in plan.device_arrays().items()}
-    if plan_bwd is None:
-        arrs_b, pb = arrs_f, plan
-    else:
-        arrs_b = {k: jnp.asarray(v) for k, v in plan_bwd.device_arrays().items()}
-        pb = plan_bwd
+    pb = plan if plan_bwd is None else plan_bwd
 
     if impl == "pallas":
         from hcspmm_tpu.kernels.block_spmm import spmm_pallas
 
-        def fwd_impl(x):
+        def fwd_impl(arrs_f, x):
             return spmm_pallas(arrs_f, x, plan, cd)
 
-        def bwd_impl(g):
+        def bwd_impl(arrs_b, g):
             return spmm_pallas(arrs_b, g, pb, cd)
     elif impl == "xla":
-        fwd_impl = functools.partial(
-            _spmm_xla, arrs_f,
-            num_buckets=len(plan.bucket_widths), num_ell=len(plan.ell_widths),
-            num_band=len(plan.band_widths), window_h=plan.window_h,
-            band_h=plan.band_h, num_sparse_rows=plan.num_sparse_rows,
-            xp_rows=plan.xp_rows, compute_dtype=cd,
-        )
-        bwd_impl = functools.partial(
-            _spmm_xla, arrs_b,
-            num_buckets=len(pb.bucket_widths), num_ell=len(pb.ell_widths),
-            num_band=len(pb.band_widths), window_h=pb.window_h,
-            band_h=pb.band_h, num_sparse_rows=pb.num_sparse_rows,
-            xp_rows=pb.xp_rows, compute_dtype=cd,
-        )
+        def fwd_impl(arrs_f, x):
+            return _spmm_xla(
+                arrs_f, x,
+                num_buckets=len(plan.bucket_widths),
+                num_ell=len(plan.ell_widths),
+                num_band=len(plan.band_widths), window_h=plan.window_h,
+                band_h=plan.band_h, num_sparse_rows=plan.num_sparse_rows,
+                xp_rows=plan.xp_rows, compute_dtype=cd,
+            )
+
+        def bwd_impl(arrs_b, g):
+            return _spmm_xla(
+                arrs_b, g,
+                num_buckets=len(pb.bucket_widths),
+                num_ell=len(pb.ell_widths),
+                num_band=len(pb.band_widths), window_h=pb.window_h,
+                band_h=pb.band_h, num_sparse_rows=pb.num_sparse_rows,
+                xp_rows=pb.xp_rows, compute_dtype=cd,
+            )
     else:
         raise ValueError(f"unknown impl: {impl}")
 
     @jax.custom_vjp
-    def spmm(x):
-        return fwd_impl(x)
+    def spmm(arrs_f, arrs_b, x):
+        return fwd_impl(arrs_f, x)
 
-    def spmm_fwd(x):
-        return fwd_impl(x), None
+    def spmm_fwd(arrs_f, arrs_b, x):
+        return fwd_impl(arrs_f, x), (arrs_f, arrs_b)
 
-    def spmm_bwd(_, g):
-        return (bwd_impl(g),)
+    def spmm_bwd(res, g):
+        arrs_f, arrs_b = res
+        return (
+            _float0_zeros(arrs_f),
+            _float0_zeros(arrs_b),
+            bwd_impl(arrs_b, g),
+        )
 
     spmm.defvjp(spmm_fwd, spmm_bwd)
     return spmm
@@ -228,9 +247,25 @@ class HybridSpMM:
             self.plan, self.plan_bwd,
             compute_dtype=config.compute_dtype, impl=config.impl,
         )
+        arrs_f = {k: jnp.asarray(v) for k, v in self.plan.device_arrays().items()}
+        if self.plan_bwd is None:
+            arrs_b = arrs_f
+        else:
+            arrs_b = {k: jnp.asarray(v)
+                      for k, v in self.plan_bwd.device_arrays().items()}
+        #: pytree of plan arrays — thread this through YOUR jit boundary
+        #: (see make_spmm docstring) and call ``apply(arrays, x)``
+        self.arrays = {"f": arrs_f, "b": arrs_b}
+
+    def apply(self, arrays, x: jnp.ndarray) -> jnp.ndarray:
+        """Jit-friendly form: plan arrays as traced arguments."""
+        return self._fn(arrays["f"], arrays["b"], x)
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        return self._fn(x)
+        # Convenience form.  Inside a caller's jit, ``self.arrays`` become
+        # module constants — fine for small graphs and tests; for large
+        # graphs use ``apply`` with ``arrays`` threaded as a jit argument.
+        return self.apply(self.arrays, x)
 
 
 def spmm_reference_dense(row_pointers, column_index, num_nodes, x):

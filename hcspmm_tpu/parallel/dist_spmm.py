@@ -92,31 +92,38 @@ def make_dist_spmm(
             out_specs=P(axis),
         )
 
-        def run(x):
-            return mapped(stacked, x)
+        def run(arrays, x):
+            return mapped(arrays["stacked"], x)
+
+        arrays = {"stacked": stacked}
     else:
         mapped = shard_map(
             body, mesh=mesh,
             in_specs=(jax.tree.map(lambda _: P(axis), stacked), P(axis), P(axis)),
             out_specs=P(axis),
         )
-        _send = jnp.asarray(sharded.send_idx)
 
-        def run(x):
-            return mapped(stacked, x, _send)
+        def run(arrays, x):
+            return mapped(arrays["stacked"], x, arrays["send"])
 
+        arrays = {"stacked": stacked, "send": jnp.asarray(sharded.send_idx)}
+
+    from hcspmm_tpu.ops.spmm import _float0_zeros
+
+    # plan arrays as arguments, not closure constants (ops.spmm.make_spmm)
     @jax.custom_vjp
-    def dist_spmm(x):
-        return run(x)
+    def dist_spmm(arrays, x):
+        return run(arrays, x)
 
-    def fwd(x):
-        return run(x), None
+    def fwd(arrays, x):
+        return run(arrays, x), (arrays,)
 
-    def bwd(_, g):
-        return (run(g),)
+    def bwd(res, g):
+        (arrays,) = res
+        return (_float0_zeros(arrays), run(arrays, g))
 
     dist_spmm.defvjp(fwd, bwd)
-    return dist_spmm
+    return dist_spmm, arrays
 
 
 class DistHybridSpMM:
@@ -147,7 +154,7 @@ class DistHybridSpMM:
             num_shards=mesh.shape[axis], config=config, mode=mode,
         )
         self.sharding = NamedSharding(mesh, P(axis))
-        self._fn = make_dist_spmm(
+        self._fn, self.arrays = make_dist_spmm(
             self.sharded, mesh, axis, compute_dtype=config.compute_dtype
         )
 
@@ -158,5 +165,9 @@ class DistHybridSpMM:
     def pad(self, x: np.ndarray) -> np.ndarray:
         return pad_rows(np.asarray(x), self.sharded.n_padded)
 
+    def apply(self, arrays, x: jnp.ndarray) -> jnp.ndarray:
+        """Jit-friendly form: plan arrays threaded as traced arguments."""
+        return self._fn(arrays, x)
+
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        return self._fn(x)
+        return self._fn(self.arrays, x)

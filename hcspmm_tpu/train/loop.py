@@ -38,20 +38,38 @@ class TrainState:
 
 def make_train_step(
     net: Net,
-    spmm: Callable,
+    spmm,
     optimizer: optax.GradientTransformation,
 ):
-    def loss_fn(params, x, y, rng):
-        logp = net_forward(net, params, spmm, x, dropout_rng=rng, train=True)
+    """``spmm`` is a HybridSpMM-like op (has ``.arrays`` + ``.apply``) or a
+    plain callable.  Plan arrays are threaded through the jit as arguments —
+    closed-over device arrays would be serialized into the module as
+    constants and cost minutes of compile at large-graph scale (see
+    ops.spmm.make_spmm).
+    """
+    arrays = getattr(spmm, "arrays", None)
+    apply_fn = (
+        (lambda a, x: spmm.apply(a, x)) if arrays is not None
+        else (lambda a, x: spmm(x))
+    )
+
+    def loss_fn(params, arrs, x, y, rng):
+        logp = net_forward(net, params, lambda v: apply_fn(arrs, v), x,
+                           dropout_rng=rng, train=True)
         return nll_loss(logp, y)
 
     @jax.jit
-    def train_step(params, opt_state, x, y, rng):
-        loss, grads = jax.value_and_grad(loss_fn)(params, x, y, rng)
+    def _step(params, opt_state, arrs, x, y, rng):
+        loss, grads = jax.value_and_grad(loss_fn)(params, arrs, x, y, rng)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
+    def train_step(params, opt_state, x, y, rng):
+        return _step(params, opt_state, arrays, x, y, rng)
+
+    train_step.step_with_arrays = _step
+    train_step.arrays = arrays
     return train_step
 
 

@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Multi-chip SpMM scaling benchmark (BASELINE config: row-partitioned
+SpMM with halo exchange, nnz/s scaling efficiency at 1 -> N devices).
+
+Runs on whatever devices are visible.  With no multi-chip hardware
+available, `--force-cpu-devices N` simulates an N-device mesh on host CPU
+(the sharding/collective program is identical to what a real pod slice
+compiles; absolute times are not TPU times, the *scaling efficiency* is
+the signal).
+
+Emits one JSONL record per device count.
+"""
+
+from __future__ import annotations
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--nodes", type=int, default=65536)
+    p.add_argument("--degree", type=float, default=8.0)
+    p.add_argument("--dim", type=int, default=96)
+    p.add_argument("--block", type=int, default=300)
+    p.add_argument("--mode", type=str, default="halo",
+                   choices=["halo", "allgather"])
+    p.add_argument("--force-cpu-devices", type=int, default=0)
+    args = p.parse_args()
+
+    if args.force_cpu_devices:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={args.force_cpu_devices}"
+        )
+        os.environ["JAX_PLATFORMS"] = "cpu"
+
+    import jax
+
+    if args.force_cpu_devices:
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from hcspmm_tpu.graphs import io
+    from hcspmm_tpu.parallel.dist_spmm import DistHybridSpMM
+    from hcspmm_tpu.models.sag import chained_apply_time
+
+    src, dst, nn = io.synthetic_blocks(args.nodes, args.degree, args.block,
+                                       seed=7)
+    rp, ci = io.to_csr(src, dst, nn)
+    nnz = int(rp[-1])
+    x = np.random.RandomState(0).randn(nn, args.dim).astype(np.float32)
+
+    devs = jax.devices()
+    counts = [c for c in (1, 2, 4, 8, 16, 32) if c <= len(devs)]
+    base = None
+    for c in counts:
+        mesh = Mesh(np.array(devs[:c]), ("x",))
+        op = DistHybridSpMM(rp, ci, nn, mesh, mode=args.mode)
+        xs = jax.device_put(op.pad(x), op.sharding)
+        dur = chained_apply_time(op, xs, k1=2, k2=8)
+        gnnz = nnz / dur / 1e9
+        if base is None:
+            base = gnnz
+        eff = gnnz / (base * c)
+        rec = {
+            "devices": c, "mode": args.mode, "nodes": nn, "nnz": nnz,
+            "dim": args.dim, "spmm_ms": round(dur * 1e3, 3),
+            "gnnz_per_s": round(gnnz, 4),
+            "scaling_efficiency": round(eff, 4),
+            "platform": devs[0].platform,
+        }
+        print(json.dumps(rec), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -19,6 +19,9 @@ Usage:  python tools/calibrate_loi.py [--samples 24] [--dim 96]
 
 from __future__ import annotations
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import sys
 
