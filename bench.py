@@ -54,6 +54,8 @@ def main() -> int:
     band = os.environ.get("HCSPMM_BENCH_BAND", "auto")
     block = int(os.environ.get("HCSPMM_BENCH_BLOCK", 300))
     k = int(os.environ.get("HCSPMM_BENCH_K", 12))
+    band_h = int(os.environ.get("HCSPMM_BENCH_BAND_H", 512))
+    band_widths = os.environ.get("HCSPMM_BENCH_BAND_WIDTHS", "")
 
     import jax
 
@@ -90,8 +92,13 @@ def main() -> int:
     reorder_s = time.perf_counter() - t0
 
     t0 = time.perf_counter()
+    extra = {}
+    if band_h:
+        extra["band_h"] = band_h
+    if band_widths:
+        extra["band_widths"] = tuple(int(v) for v in band_widths.split(","))
     cfg = PlanConfig(loi_mode=mode, compute_dtype=dtype, impl=impl,
-                     band_mode=band)
+                     band_mode=band, **extra)
     op = HybridSpMM(rp, ci, nn, cfg)
     prep_s = time.perf_counter() - t0
 

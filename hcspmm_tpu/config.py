@@ -84,6 +84,10 @@ class PlanConfig:
     # 'auto' uses the cost model below; 'always' takes every superwindow
     # whose extent fits a bucket; 'never' disables the banded path.
     band_mode: str = "auto"
+    # Device dtype of the binary band blocks: 'int8' or 'int4'.  A-bytes
+    # (N x band width) dominate band-path HBM traffic on low-degree
+    # graphs; int4 halves them (values are {0,1}, so 4 bits are plenty).
+    a_dtype: str = "int8"
     # Cost-model constants for the band-vs-gather decision, measured on
     # v5e (see format.loi.decide_band): seconds per gathered ELL slot on
     # the XLA take path, and effective HBM GB/s for streamed band/A bytes.

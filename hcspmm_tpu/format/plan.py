@@ -177,7 +177,12 @@ class ExecutionPlan:
         for s in range(len(self.band_widths)):
             d[f"band{s}_start"] = self.band_starts[s]
             d[f"band{s}_a"] = self.band_a[s]
-            d[f"band{s}_sw"] = self.band_sw_ids[s].astype(np.int32)
+            # pad to capacity for uniform shard stacking; the direct-write
+            # kernel path is gated on real count == capacity (block_spmm)
+            d[f"band{s}_sw"] = _pad_to(
+                self.band_sw_ids[s].astype(np.int32),
+                self.band_starts[s].shape[0], 0,
+            )
         return d
 
 

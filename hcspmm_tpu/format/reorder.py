@@ -191,6 +191,73 @@ def rcm_reorder(row_pointers, column_index, num_nodes: int) -> np.ndarray:
     )
 
 
+def pack_reorder(row_pointers, column_index, num_nodes: int,
+                 band_h: int = 256) -> np.ndarray:
+    """Component-aligned packing for the banded path.
+
+    RCM orders each connected component contiguously but lets superwindow
+    boundaries straddle components, inflating band extents.  This ordering
+    (a) RCM-orders the graph, (b) bin-packs the components into
+    ``band_h``-row bins — components that do not fit the current bin's
+    remainder start at the next bin boundary, and smaller components
+    back-fill the remainders (first-fit decreasing) — so most superwindows
+    see only whole components and extents hug the component size.  The
+    TPU-shaped analog of the reference's LOA objective (fewer unique
+    columns per window -> here: smaller band extent per superwindow).
+    """
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import connected_components
+
+    rp = _as_i32(row_pointers)
+    ci = _as_i32(column_index)
+    a = sp.csr_matrix(
+        (np.ones(len(ci), dtype=np.int8), ci, rp),
+        shape=(num_nodes, num_nodes),
+    )
+    ncomp, labels = connected_components(a, directed=False)
+    rcm = rcm_reorder(rp, ci, num_nodes)
+
+    # component order and members in RCM order (components are contiguous
+    # under RCM; gather their RCM positions to be safe either way)
+    comp_members: list = [[] for _ in range(ncomp)]
+    for pos, node in enumerate(rcm):
+        comp_members[labels[node]].append(node)
+    sizes = np.array([len(m) for m in comp_members])
+    order = np.argsort(-sizes, kind="stable")
+
+    # First-fit-decreasing into units of capacity ceil(size/band_h)*band_h.
+    units: list = []      # lists of component ids
+    free: list = []       # free rows in each unit
+    for c in order:
+        s = int(sizes[c])
+        if s == 0:
+            continue
+        for u in range(len(units)):
+            if free[u] >= s:
+                units[u].append(c)
+                free[u] -= s
+                break
+        else:
+            units.append([c])
+            free.append(-(-s // band_h) * band_h - s)
+
+    # Bin alignment survives only while every earlier unit is an exact
+    # multiple of band_h, so exactly-full units lead.
+    unit_rows = [sum(int(sizes[c]) for c in u) for u in units]
+    layout = sorted(range(len(units)),
+                    key=lambda u: (unit_rows[u] % band_h != 0, u))
+    perm = []
+    for u in layout:
+        for c in units[u]:
+            perm.extend(comp_members[c])
+    # degree-0 / leftover nodes
+    seen = np.zeros(num_nodes, dtype=bool)
+    if perm:
+        seen[np.asarray(perm, dtype=np.int64)] = True
+    perm.extend(np.where(~seen)[0].tolist())
+    return np.asarray(perm, dtype=np.int32)
+
+
 def apply_permutation(row_pointers, column_index, num_nodes: int,
                       perm: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """Relabel vertices: returns CSR of ``A[perm][:, perm]``.

@@ -235,8 +235,14 @@ class HybridSpMM:
         num_nodes: int,
         config: PlanConfig = PlanConfig(),
         symmetric: bool = True,
+        normalize: bool = False,
     ):
+        """``normalize=True`` computes D^-1/2 A D^-1/2 X (symmetric GCN
+        normalization).  The reference computes sqrt-degrees and never
+        applies them (dataset.py:106-107; its kernels sum unweighted), so
+        False reproduces reference semantics (SURVEY.md §7 checklist)."""
         self.config = config
+        self.normalize = normalize
         self.plan = build_plan(row_pointers, column_index, num_nodes, config)
         if symmetric:
             self.plan_bwd = None
@@ -247,18 +253,35 @@ class HybridSpMM:
             self.plan, self.plan_bwd,
             compute_dtype=config.compute_dtype, impl=config.impl,
         )
-        arrs_f = {k: jnp.asarray(v) for k, v in self.plan.device_arrays().items()}
+        def to_device(plan_arrs):
+            out = {}
+            for k, v in plan_arrs.items():
+                a = jnp.asarray(v)
+                if config.a_dtype == "int4" and k.endswith("_a") and k.startswith("band"):
+                    a = a.astype(jnp.int4)
+                out[k] = a
+            return out
+
+        arrs_f = to_device(self.plan.device_arrays())
         if self.plan_bwd is None:
             arrs_b = arrs_f
         else:
-            arrs_b = {k: jnp.asarray(v)
-                      for k, v in self.plan_bwd.device_arrays().items()}
+            arrs_b = to_device(self.plan_bwd.device_arrays())
         #: pytree of plan arrays — thread this through YOUR jit boundary
         #: (see make_spmm docstring) and call ``apply(arrays, x)``
         self.arrays = {"f": arrs_f, "b": arrs_b}
+        if normalize:
+            deg = np.maximum(np.diff(np.asarray(row_pointers)), 1)
+            self.arrays["inv_sqrt_deg"] = jnp.asarray(
+                1.0 / np.sqrt(deg.astype(np.float32))
+            )
 
     def apply(self, arrays, x: jnp.ndarray) -> jnp.ndarray:
         """Jit-friendly form: plan arrays as traced arguments."""
+        if "inv_sqrt_deg" in arrays:
+            inv = arrays["inv_sqrt_deg"][:, None]
+            xs = (x * inv).astype(x.dtype)
+            return (self._fn(arrays["f"], arrays["b"], xs) * inv).astype(x.dtype)
         return self._fn(arrays["f"], arrays["b"], x)
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:

@@ -37,11 +37,11 @@ def _local_spmm(arrs, x_view, sharded: ShardedPlan, compute_dtype):
         x_view,
         num_buckets=sharded.num_buckets,
         num_ell=sharded.num_ell,
-        num_band=0,       # bands disabled in sharded plans (partition.py)
+        num_band=sharded.num_band,  # nonzero only in allgather mode
         window_h=sharded.window_h,
-        band_h=1,
+        band_h=sharded.band_h,
         num_sparse_rows=sharded.num_sparse_rows,
-        xp_rows=0,
+        xp_rows=sharded.xp_rows,
         compute_dtype=compute_dtype,
     )
 

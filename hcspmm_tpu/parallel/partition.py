@@ -46,6 +46,9 @@ class ShardedPlan:
     window_h: int
     num_buckets: int        # dense width buckets (uniform across shards)
     num_ell: int            # ELL degree buckets (uniform across shards)
+    num_band: int           # band-width buckets (allgather mode only)
+    band_h: int
+    xp_rows: int            # uniform X padding target across shards
     num_sparse_rows: int    # uniform per-shard count
     mode: str               # 'allgather' | 'halo'
 
@@ -84,11 +87,11 @@ def build_sharded_plan(
 ) -> ShardedPlan:
     rp = np.asarray(row_pointers, dtype=np.int64)
     ci = np.asarray(column_index, dtype=np.int32)
-    # The banded path assumes the local X view is the global (or contiguous
-    # prefix) column space; halo remapping breaks contiguity, and uniform
-    # shard stacking of band blocks is future work — carve bands out of the
-    # distributed plans for now.
-    config = dataclasses.replace(config, band_mode="never")
+    # The banded path assumes the local X view is the global column space:
+    # valid under allgather; halo remapping breaks contiguity, so halo
+    # plans carve bands out (component-aware halo banding is future work).
+    if mode == "halo":
+        config = dataclasses.replace(config, band_mode="never")
     wh = config.window_h
     chunk = wh * num_shards
     n_padded = ((num_nodes + chunk - 1) // chunk) * chunk
@@ -112,12 +115,16 @@ def build_sharded_plan(
     def caps_of(probe):
         nb = len(probe[0].bucket_widths)
         ne = len(probe[0].ell_widths)
+        ns = len(probe[0].band_widths)
         return PlanCaps(
             bucket_windows=tuple(
                 max(p.bucket_capacities[b] for p in probe) for b in range(nb)
             ),
             ell_rows=tuple(
                 max(p.ell_capacities[e] for p in probe) for e in range(ne)
+            ),
+            band_supers=tuple(
+                max(p.band_capacities[s] for p in probe) for s in range(ns)
             ),
             num_sparse_rows=max(p.num_sparse_rows for p in probe),
             num_sparse_edges=max(p.num_sparse_edges for p in probe),
@@ -190,6 +197,9 @@ def build_sharded_plan(
         window_h=wh,
         num_buckets=len(plans[0].bucket_widths),
         num_ell=len(plans[0].ell_widths),
+        num_band=len(plans[0].band_widths),
+        band_h=plans[0].band_h,
+        xp_rows=max(p.xp_rows for p in plans),
         num_sparse_rows=plans[0].num_sparse_rows,
         mode=mode,
         stacked=stacked,

@@ -55,6 +55,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--synthetic-nodes", type=int, default=65536)
     p.add_argument("--synthetic-degree", type=float, default=8.0)
     p.add_argument("--checkpoint", type=str, default="")
+    p.add_argument("--resume", type=str, default="",
+                   help="checkpoint to load params from before training")
+    p.add_argument("--normalize", action="store_true",
+                   help="symmetric-normalized aggregation D^-1/2 A D^-1/2 "
+                        "(the reference computes degrees but never applies "
+                        "them; off = reference semantics)")
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -111,7 +117,8 @@ def main(argv=None) -> int:
         reorder_ms = (time.perf_counter() - start) * 1e3
         logger.log(event="reorder", mode=args.reorder, reorder_ms=reorder_ms)
         start = time.perf_counter()
-    op = HybridSpMM(ds.row_pointers, ds.column_index, ds.num_nodes, cfg)
+    op = HybridSpMM(ds.row_pointers, ds.column_index, ds.num_nodes, cfg,
+                    normalize=args.normalize)
     prep_ms = (time.perf_counter() - start) * 1e3
     print("Prep. (ms):\t{:.3f}".format(prep_ms))
     logger.log(
@@ -135,8 +142,13 @@ def main(argv=None) -> int:
         num_classes=args.classes,
         num_layers=args.num_layers,
     )
+    init_params = None
+    if args.resume:
+        from hcspmm_tpu.utils.checkpoint import load_pytree
+        init_params, meta = load_pytree(args.resume)
+        logger.log(event="resume", path=args.resume, **meta)
     res = train(net, op, ds.x, ds.y, epochs=args.epochs,
-                seed=args.seed, logger=logger)
+                seed=args.seed, logger=logger, init_params=init_params)
     logger.log(event="done", epoch_ms=res["epoch_ms"], final_loss=res["final_loss"])
 
     if args.checkpoint:

@@ -83,13 +83,15 @@ def train(
     seed: int = 0,
     warmup_epochs: int = 9,
     logger: Optional[MetricLogger] = None,
+    init_params: Optional[List[Dict]] = None,
 ) -> Dict:
-    """Runs warm-up + timed epochs; returns params and timing stats."""
+    """Runs warm-up + timed epochs; returns params and timing stats.
+    ``init_params`` resumes from a checkpoint instead of fresh init."""
     x = jnp.asarray(x)
     y = jnp.asarray(y)
     rng = jax.random.PRNGKey(seed)
     rng, init_rng = jax.random.split(rng)
-    params = init_net_params(net, init_rng)
+    params = init_params if init_params is not None else init_net_params(net, init_rng)
     optimizer = optax.adam(lr)
     opt_state = optimizer.init(params)
     step = make_train_step(net, spmm, optimizer)

@@ -87,3 +87,33 @@ def test_dist_in_training_step():
 
     g = jax.jit(jax.grad(loss_fn))(params, x, y)
     assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree.leaves(g))
+
+
+def test_allgather_band_path_matches_oracle():
+    """Banded superwindows stay enabled under allgather sharding (the
+    gathered X is the global column space); halo mode carves them out."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from hcspmm_tpu.config import PlanConfig
+    from hcspmm_tpu.graphs import io
+    from hcspmm_tpu.format import reorder as _ro
+    from hcspmm_tpu.ops.spmm import spmm_reference_dense
+    from hcspmm_tpu.parallel.dist_spmm import DistHybridSpMM
+
+    src, dst, nn = io.synthetic_blocks(1024, 6, block_size=100, seed=5)
+    rp, ci = io.to_csr(src, dst, nn)
+    perm = _ro.rcm_reorder(rp, ci, nn)
+    rp, ci = _ro.apply_permutation(rp, ci, nn, perm)
+    x = np.random.RandomState(0).randn(nn, 16).astype(np.float32)
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("x",))
+    cfg = PlanConfig(band_mode="always", band_h=64, band_widths=(128, 256))
+    op = DistHybridSpMM(rp, ci, nn, mesh, config=cfg, mode="allgather")
+    assert any(len(p.band_sw_ids[s]) > 0
+               for p in op.sharded.plans
+               for s in range(len(p.band_widths)))
+    z = np.asarray(op(jax.device_put(op.pad(x), op.sharding)))[:nn]
+    ref = spmm_reference_dense(rp, ci, nn, x)
+    np.testing.assert_allclose(z, ref, rtol=1e-4, atol=1e-4)

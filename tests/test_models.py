@@ -98,3 +98,49 @@ def test_train_step_jit_and_gin():
         params, opt_state, loss = step(params, opt_state, x, y, sub)
         losses.append(float(loss))
     assert losses[-1] < losses[0]
+
+
+def test_normalized_aggregation_matches_oracle():
+    import jax
+    import numpy as np
+    from hcspmm_tpu.config import PlanConfig
+    from hcspmm_tpu.ops.spmm import HybridSpMM
+
+    from conftest import small_graph
+
+    rp, ci, nn = small_graph(120, 6)
+    op = HybridSpMM(rp, ci, nn, PlanConfig(), normalize=True)
+    x = np.random.RandomState(0).randn(nn, 12).astype(np.float32)
+    z = np.asarray(jax.jit(op)(x))
+    a = np.zeros((nn, nn))
+    for r in range(nn):
+        a[r, np.asarray(ci)[rp[r]: rp[r + 1]]] = 1.0
+    d = np.maximum(a.sum(1), 1.0)
+    zref = (a / np.sqrt(d)[:, None] / np.sqrt(d)[None, :]) @ x
+    np.testing.assert_allclose(z, zref, rtol=2e-4, atol=2e-4)
+
+
+def test_train_resume_roundtrip(tmp_path):
+    import jax
+    import numpy as np
+    from hcspmm_tpu.models.net import Net
+    from hcspmm_tpu.ops.spmm import HybridSpMM
+    from hcspmm_tpu.train.loop import train
+    from hcspmm_tpu.utils.checkpoint import save_pytree, load_pytree
+
+    from conftest import small_graph
+
+    rp, ci, nn = small_graph(80, 4)
+    op = HybridSpMM(rp, ci, nn)
+    x = np.random.RandomState(0).randn(nn, 8).astype(np.float32)
+    y = np.ones(nn, dtype=np.int32)
+    net = Net(model="gcn", num_features=8, hidden=8, num_classes=3,
+              num_layers=2)
+    res = train(net, op, x, y, epochs=2, warmup_epochs=1)
+    p = str(tmp_path / "ck.npz")
+    save_pytree(p, res["params"], {"epochs": 2})
+    params, meta = load_pytree(p)
+    assert meta["epochs"] == 2
+    res2 = train(net, op, x, y, epochs=1, warmup_epochs=0,
+                 init_params=params)
+    assert np.isfinite(res2["final_loss"])
