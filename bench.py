@@ -54,8 +54,11 @@ def main() -> int:
     band = os.environ.get("HCSPMM_BENCH_BAND", "auto")
     block = int(os.environ.get("HCSPMM_BENCH_BLOCK", 300))
     k = int(os.environ.get("HCSPMM_BENCH_K", 12))
+    # single band bucket triggers the no-alias direct-write kernel: one
+    # pallas call produces the whole output (multi-bucket aliasing chains
+    # measured ~2x slower at DD scale)
     band_h = int(os.environ.get("HCSPMM_BENCH_BAND_H", 512))
-    band_widths = os.environ.get("HCSPMM_BENCH_BAND_WIDTHS", "")
+    band_widths = os.environ.get("HCSPMM_BENCH_BAND_WIDTHS", "1024")
 
     import jax
 

@@ -290,6 +290,23 @@ def build_plan(
             band_sel = band_sel | ~nonempty
         band_full_cover = bool(band_sel.all()) and len(band_sel) > 0
 
+        # Collapse to a single width bucket when the extra A padding is
+        # cheap: one full-coverage kernel direct-writes the whole output,
+        # while a multi-bucket aliasing chain measured ~2x slower (zeros
+        # init + per-call buffer passes) at DD scale.
+        if band_full_cover:
+            sel = np.where(band_sel)[0]
+            used = np.unique(bucket_sw[sel])
+            if len(used) > 1:
+                bmax = int(used.max())
+                widths_arr = np.asarray(band_widths)
+                bytes_multi = int(
+                    (widths_arr[bucket_sw[sel]] * bh).sum()
+                )
+                bytes_single = int(widths_arr[bmax]) * bh * len(sel)
+                if bytes_single <= 1.5 * bytes_multi:
+                    bucket_sw[sel] = bmax
+
         sw_pos = np.full(num_sw, -1, dtype=np.int64)
         for s, bbw in enumerate(band_widths):
             sws = np.where(band_sel & (bucket_sw == s))[0].astype(np.int64)

@@ -301,6 +301,46 @@ def _band_kernel_into(starts_ref, sw_ref, a_ref, x_hbm, buf_ref, out_ref,
     ).astype(out_ref.dtype)
 
 
+def _band_kernel_direct(starts_ref, sw_ref, a_ref, x_hbm, out_ref,
+                        band, sems, *, bb, precision):
+    _band_kernel_into(starts_ref, sw_ref, a_ref, x_hbm, None, out_ref,
+                      band, sems, bb=bb, precision=precision)
+
+
+def band_bucket_spmm_direct(sw_ids, starts, a, xp, num_sw, out_dtype):
+    """Single-bucket full-coverage direct write: every output block is
+    written by exactly one grid step, so no init buffer or aliasing chain
+    is needed at all (the aliasing path copies the buffer per call)."""
+    sb, bh, bb = a.shape
+    _, d = xp.shape
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if xp.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(sb,),
+        in_specs=[
+            pl.BlockSpec((1, bh, bb), lambda i, s_, w_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, bh, d), lambda i, s_, w_: (w_[i], 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, bb, d), xp.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_band_kernel_direct, bb=bb, precision=precision),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_sw, bh, d), out_dtype),
+        interpret=_interpret(),
+    )(starts, sw_ids, a, xp)
+
+
 def band_bucket_spmm_into(buf, sw_ids, starts, a, xp):
     """Direct-write variant: superwindow ``sw_ids[i]``'s output lands at
     ``buf[sw_ids[i]]`` (buf: [num_sw, bh, D], aliased in/out).  Chaining
@@ -378,15 +418,27 @@ def spmm_pallas(arrs, x, plan, compute_dtype):
         for s in range(len(plan.band_widths))
     )
     if full_direct:
+        # (lane dim must stay 128-padded: Mosaic rejects DMA refs whose
+        # lane extent is not a tile multiple, even unsliced.  The final
+        # [:, :d] fuses into downstream consumers, so it costs no pass.)
         num_sw = _cdiv(n, plan.band_h)
-        buf = jnp.zeros((num_sw, plan.band_h, dp), x.dtype)
-        for s in range(len(plan.band_widths)):
-            if arrs[f"band{s}_start"].shape[0] == 0:
-                continue
-            buf = band_bucket_spmm_into(
-                buf, arrs[f"band{s}_sw"], arrs[f"band{s}_start"],
-                arrs[f"band{s}_a"], xp_band,
+        nonempty = [s for s in range(len(plan.band_widths))
+                    if arrs[f"band{s}_start"].shape[0] > 0]
+        if len(nonempty) == 1 and (
+            arrs[f"band{nonempty[0]}_start"].shape[0] == num_sw
+        ):
+            s = nonempty[0]
+            buf = band_bucket_spmm_direct(
+                arrs[f"band{s}_sw"], arrs[f"band{s}_start"],
+                arrs[f"band{s}_a"], xp_band, num_sw, x.dtype,
             )
+        else:
+            buf = jnp.zeros((num_sw, plan.band_h, dp), x.dtype)
+            for s in nonempty:
+                buf = band_bucket_spmm_into(
+                    buf, arrs[f"band{s}_sw"], arrs[f"band{s}_start"],
+                    arrs[f"band{s}_a"], xp_band,
+                )
         return buf.reshape(num_sw * plan.band_h, dp)[:n, :d]
 
     outs = []

@@ -80,3 +80,46 @@ def test_zero_degree_rows_appended():
     ci = np.array([2, 3, 0, 1], dtype=np.int32)
     perm = reorder.loa_reorder(rp, ci, 4, window_h=2)
     assert sorted(perm.tolist()) == [0, 1, 2, 3]
+
+
+def test_pack_reorder_valid_and_band_friendly():
+    from hcspmm_tpu.format.windows import analyze_windows
+
+    # mixed component sizes: packing should beat raw RCM on band coverage
+    rng = np.random.RandomState(0)
+    sizes = [30, 70, 100, 128, 60, 40, 50, 90, 80, 64]
+    src_parts, dst_parts = [], []
+    lo = 0
+    for s in sizes:
+        cnt = s * 3
+        src_parts.append(rng.randint(lo, lo + s, size=cnt))
+        dst_parts.append(rng.randint(lo, lo + s, size=cnt))
+        lo += s
+    n = lo
+    src = np.concatenate(src_parts); dst = np.concatenate(dst_parts)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    shuf = rng.permutation(n)
+    src, dst = shuf[src], shuf[dst]
+    src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
+    rp, ci = io.to_csr(src, dst, n)
+
+    perm = reorder.pack_reorder(rp, ci, n, band_h=128)
+    assert sorted(perm.tolist()) == list(range(n))
+
+    def mean_extent(rp2, ci2, bh=128):
+        rp64 = np.asarray(rp2, np.int64)
+        c64 = np.asarray(ci2, np.int64)
+        s_ = (n + bh - 1) // bh
+        r0 = np.minimum(np.arange(s_) * bh, n)
+        r1 = np.minimum(r0 + bh, n)
+        es, ee = rp64[r0], rp64[r1]
+        idx = np.where(ee > es)[0]
+        mn = np.minimum.reduceat(c64, es[idx])
+        mx = np.maximum.reduceat(c64, es[idx])
+        return float((mx - mn + 1).mean())
+
+    rp_p, ci_p = reorder.apply_permutation(rp, ci, n, perm)
+    rp_r, ci_r = reorder.apply_permutation(
+        rp, ci, n, reorder.rcm_reorder(rp, ci, n))
+    assert mean_extent(rp_p, ci_p) <= mean_extent(rp_r, ci_r) * 1.05

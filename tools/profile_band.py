@@ -1,0 +1,142 @@
+#!/usr/bin/env python
+"""Band-kernel component profile at bench scale: full vs no-dot (DMA only)
+vs no-dma (compute only) vs no-A (band DMA + dot on resident A).
+
+Isolates where the per-superwindow time goes (band DMA / A stream /
+convert+dot / output write) using the bench graph and the chained-scan
+timing methodology.
+"""
+
+from __future__ import annotations
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import argparse
+import functools
+import time
+
+import numpy as np
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--nodes", type=int, default=334928)
+    p.add_argument("--degree", type=float, default=5.03)
+    p.add_argument("--block", type=int, default=300)
+    p.add_argument("--band-h", type=int, default=512)
+    p.add_argument("--width", type=int, default=768)
+    p.add_argument("--dim", type=int, default=128)
+    p.add_argument("--variants", type=str, default="full,nodot,nodma,noa")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from hcspmm_tpu.train.cli import enable_compile_cache
+    from hcspmm_tpu.graphs import io
+    from hcspmm_tpu.format import reorder as _ro
+    from hcspmm_tpu.format.plan import build_plan
+    from hcspmm_tpu.config import PlanConfig
+
+    enable_compile_cache()
+
+    src, dst, nn = io.synthetic_blocks(args.nodes, args.degree, args.block,
+                                       seed=7)
+    rp, ci = io.to_csr(src, dst, nn)
+    perm = _ro.rcm_reorder(rp, ci, nn)
+    rp, ci = _ro.apply_permutation(rp, ci, nn, perm)
+    # single-bucket plan so one kernel covers everything
+    plan = build_plan(rp, ci, nn, PlanConfig(
+        band_h=args.band_h, band_widths=(args.width,), band_mode="always"))
+    s_idx = 0
+    starts = jnp.asarray(plan.band_starts[s_idx])
+    a = jnp.asarray(plan.band_a[s_idx])
+    sb, bh, bb = a.shape
+    print(f"# supers={sb} of {(nn + args.band_h - 1)//args.band_h} "
+          f"band_nnz_frac={plan.band_nnz/plan.nnz:.3f}", file=_sys.stderr)
+    xp = jnp.asarray(
+        np.random.RandomState(0).randn(max(plan.xp_rows, nn), args.dim)
+    ).astype(jnp.bfloat16)
+
+    def kernel(starts_ref, a_ref, x_hbm, out_ref, band, sems, *, mode):
+        i = pl.program_id(0)
+        s = pl.num_programs(0)
+
+        def get_dma(j, slot):
+            st = pl.multiple_of(starts_ref[j], 16)
+            return pltpu.make_async_copy(x_hbm.at[pl.ds(st, bb), :],
+                                         band.at[slot], sems.at[slot])
+        if mode != "nodma":
+            @pl.when(i == 0)
+            def _():
+                get_dma(0, 0).start()
+
+            @pl.when(i + 1 < s)
+            def _():
+                get_dma(i + 1, (i + 1) % 2).start()
+            get_dma(i, i % 2).wait()
+        if mode == "nodot":
+            out_ref[0] = (band[i % 2, : bh, :]
+                          + a_ref[0, :, :1].astype(jnp.bfloat16))
+        elif mode == "noa":
+            out_ref[0] = jnp.dot(band[i % 2, :bh, :], band[i % 2][:args.dim, :].T,
+                                 preferred_element_type=jnp.float32
+                                 ).astype(jnp.bfloat16)[:, :args.dim]
+        else:
+            out_ref[0] = jnp.dot(
+                a_ref[0].astype(jnp.bfloat16), band[i % 2],
+                preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+
+    def make_call(mode):
+        gs = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(sb,),
+            in_specs=[pl.BlockSpec((1, bh, bb), lambda i, s_: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=pl.BlockSpec((1, bh, args.dim),
+                                   lambda i, s_: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((2, bb, args.dim), jnp.bfloat16),
+                            pltpu.SemaphoreType.DMA((2,))])
+        return lambda st, a_, x_: pl.pallas_call(
+            functools.partial(kernel, mode=mode), grid_spec=gs,
+            out_shape=jax.ShapeDtypeStruct((sb, bh, args.dim), jnp.bfloat16),
+        )(st, a_, x_)
+
+    def timed(mode):
+        call = make_call(mode)
+
+        def make(k):
+            @jax.jit
+            def g(st, a_, x_):
+                def body(st_c, _):
+                    o = call(st_c, a_, x_)
+                    return st_c + (o[0, 0, 0] * 1e-30).astype(st_c.dtype), o[0, 0, 0]
+                _, lasts = jax.lax.scan(body, st, None, length=k)
+                return jnp.sum(lasts)
+            return g
+
+        g1, g2 = make(2), make(12)
+        float(g1(starts, a, xp)); float(g2(starts, a, xp))
+
+        def best(g):
+            b = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(g(starts, a, xp))
+                b = min(b, time.perf_counter() - t0)
+            return b
+
+        dt = (best(g2) - best(g1)) / 10
+        print(f"{mode}: {dt*1e6:.0f}us ({dt/sb*1e9:.0f}ns/super)", flush=True)
+
+    for mode in args.variants.split(","):
+        timed(mode)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
