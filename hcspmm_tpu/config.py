@@ -50,6 +50,16 @@ class LOICoefficients:
     max_cols: int = 32
 
 
+# Coefficients refit on the v5e via tools/calibrate_loi.py (2026-08-16,
+# bf16, pallas paths): the MXU width-bucket path wins almost everywhere —
+# the crossover to the gather path only appears for wide low-density
+# windows, the inverse of the GPU's CUDA-core-favoring selector.
+# Used by loi_mode='calibrated' unless PlanConfig.loi overrides.
+LOI_TPU_V5E = LOICoefficients(
+    w_cols=0.103309, w_density=-20.144110, bias=-4.329597, max_cols=256,
+)
+
+
 @dataclasses.dataclass(frozen=True)
 class PlanConfig:
     """Configuration of the TPU execution plan (format.plan)."""
@@ -92,7 +102,7 @@ class PlanConfig:
     # v5e (see format.loi.decide_band): seconds per gathered ELL slot on
     # the XLA take path, and effective HBM GB/s for streamed band/A bytes.
     gather_ns_per_row: float = 7.0
-    stream_gbps: float = 500.0
+    stream_gbps: float = 900.0  # measured ~970 GB/s effective on v5e
     # LOI mode: 'intended' | 'degenerate' | 'calibrated' | 'all_dense'
     # | 'all_sparse'.  'degenerate' reproduces the reference's live line
     # (hybrid_all_kernel.cu:262, missing `> 0`) for bit-parity experiments.

@@ -126,8 +126,11 @@ class ExecutionPlan:
     band_widths: Tuple[int, ...] = ()         # Bb per bucket (ascending)
     band_starts: List[np.ndarray] = dataclasses.field(default_factory=list)
     #   int32 [Sb] sublane-aligned X row offsets of each superwindow band
-    band_a: List[np.ndarray] = dataclasses.field(default_factory=list)
-    #   int8 [Sb, band_h, Bb] binary band blocks
+    band_edges: List[np.ndarray] = dataclasses.field(default_factory=list)
+    #   int32 [E_s, 3] (super pos, row in super, band-local col) — the
+    #   compact form; dense A blocks are built from it on demand (host) or
+    #   on device (ops.spmm scatters them once at preprocess, uploading
+    #   ~8 bytes/nnz instead of band_h*Bb bytes/superwindow)
     band_sw_ids: List[np.ndarray] = dataclasses.field(default_factory=list)
     #   int64 [Sb_real] global superwindow ids
     band_full_cover: bool = False  # every superwindow band-assigned ->
@@ -150,6 +153,16 @@ class ExecutionPlan:
     def num_band_supers(self) -> int:
         return sum(len(s) for s in self.band_sw_ids)
 
+    def band_a_dense(self, s: int) -> np.ndarray:
+        """Dense int8 band blocks [Sb, band_h, Bb] for bucket ``s``."""
+        sb = self.band_starts[s].shape[0]
+        bb = int(self.band_widths[s])
+        a = np.zeros((sb, self.band_h, bb), dtype=np.int8)
+        e = self.band_edges[s]
+        if len(e):
+            a[e[:, 0], e[:, 1], e[:, 2]] = 1
+        return a
+
     @property
     def band_capacities(self) -> Tuple[int, ...]:
         return tuple(s.shape[0] for s in self.band_starts)
@@ -162,8 +175,11 @@ class ExecutionPlan:
     def ell_capacities(self) -> Tuple[int, ...]:
         return tuple(c.shape[0] for c in self.ell_cols)
 
-    def device_arrays(self):
-        """The pytree of arrays an SpMM implementation needs on device."""
+    def device_arrays(self, dense_band: bool = True):
+        """The pytree of arrays an SpMM implementation needs on device.
+        ``dense_band=False`` omits the dense band A blocks (callers that
+        scatter them on device from ``band_edges`` skip the host densify
+        entirely — ops.spmm.HybridSpMM)."""
         d = {
             "sparse_edge_col": self.sparse_edge_col,
             "sparse_edge_seg": self.sparse_edge_seg,
@@ -176,7 +192,8 @@ class ExecutionPlan:
             d[f"e{e}_cols"] = self.ell_cols[e]
         for s in range(len(self.band_widths)):
             d[f"band{s}_start"] = self.band_starts[s]
-            d[f"band{s}_a"] = self.band_a[s]
+            if dense_band:
+                d[f"band{s}_a"] = self.band_a_dense(s)
             # pad to capacity for uniform shard stacking; the direct-write
             # kernel path is gated on real count == capacity (block_spmm)
             d[f"band{s}_sw"] = _pad_to(
@@ -227,7 +244,7 @@ def build_plan(
         raise ValueError("band_h must be a multiple of window_h")
     num_sw = (n + bh - 1) // bh if band_widths else 0
     band_starts: List[np.ndarray] = []
-    band_a: List[np.ndarray] = []
+    band_edges: List[np.ndarray] = []
     band_sw_ids: List[np.ndarray] = []
     band_window_mask = np.zeros(wa.num_windows, dtype=bool)
     band_row_mask = np.zeros(n, dtype=bool)
@@ -308,13 +325,14 @@ def build_plan(
                     bucket_sw[sel] = bmax
 
         sw_pos = np.full(num_sw, -1, dtype=np.int64)
+        sw_of_edge = wa.edge_to_row.astype(np.int64) // bh
         for s, bbw in enumerate(band_widths):
             sws = np.where(band_sel & (bucket_sw == s))[0].astype(np.int64)
             # zero-capacity when empty (impls skip the kernel launch);
             # caps force a min capacity for uniform shard stacking
             sb = max(len(sws), caps_s[s])
             starts_arr = np.zeros(sb, dtype=np.int32)
-            a = np.zeros((sb, bh, bbw), dtype=np.int8)
+            edges = np.zeros((0, 3), dtype=np.int32)
             if len(sws):
                 sw_pos[sws] = np.arange(len(sws))
                 starts_arr[: len(sws)] = start[sws].astype(np.int32)
@@ -325,18 +343,20 @@ def build_plan(
                 ).reshape(-1)
                 rows = rows[rows < n]
                 band_row_mask[rows] = True
-                # fill A from edges of selected superwindows in this bucket
-                sw_of_edge = wa.edge_to_row.astype(np.int64) // bh
+                # compact A: (super pos, local row, band-local col) per edge
                 sel_e = band_sel[sw_of_edge] & (bucket_sw[sw_of_edge] == s)
                 e_sw = sw_of_edge[sel_e]
-                a.reshape(-1)[
-                    sw_pos[e_sw] * (bh * bbw)
-                    + (wa.edge_to_row[sel_e].astype(np.int64) % bh) * bbw
-                    + (column_index[sel_e] - start[e_sw])
-                ] = 1
+                edges = np.stack(
+                    [
+                        sw_pos[e_sw],
+                        wa.edge_to_row[sel_e].astype(np.int64) % bh,
+                        column_index[sel_e] - start[e_sw],
+                    ],
+                    axis=1,
+                ).astype(np.int32)
                 band_nnz += int(sel_e.sum())
             band_starts.append(starts_arr)
-            band_a.append(a)
+            band_edges.append(edges)
             band_sw_ids.append(sws)
         w_of = (np.arange(wa.num_windows, dtype=np.int64) * wh) // bh
         band_window_mask = band_sel[w_of]
@@ -497,7 +517,7 @@ def build_plan(
         band_h=bh,
         band_widths=band_widths,
         band_starts=band_starts,
-        band_a=band_a,
+        band_edges=band_edges,
         band_sw_ids=band_sw_ids,
         band_full_cover=band_full_cover if band_widths else False,
         xp_rows=xp_rows,

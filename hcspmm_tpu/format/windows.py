@@ -110,12 +110,21 @@ def analyze_windows(
     edge_counts = (ends - starts).astype(np.int32)
     block_partition = ((unique_counts + block_w - 1) // block_w).astype(np.int32)
 
+    # 'calibrated' defaults to the coefficients refit on this hardware
+    # (tools/calibrate_loi.py) unless the caller supplies custom ones;
+    # other modes default to the reference's GPU-fitted values.
+    if loi_coeffs is None or (
+        loi_mode == "calibrated" and loi_coeffs == LOICoefficients()
+    ):
+        from hcspmm_tpu.config import LOI_TPU_V5E
+
+        loi_coeffs = LOI_TPU_V5E if loi_mode == "calibrated" else LOICoefficients()
     hybrid_type = loi.decide_hybrid_type(
         unique_counts=unique_counts,
         edge_counts=edge_counts,
         block_partition=block_partition,
         mode=loi_mode,
-        coeffs=loi_coeffs or LOICoefficients(),
+        coeffs=loi_coeffs,
         window_h=window_h,
         block_w=block_w,
     )

@@ -341,6 +341,88 @@ def band_bucket_spmm_direct(sw_ids, starts, a, xp, num_sw, out_dtype):
     )(starts, sw_ids, a, xp)
 
 
+def _band_kernel_fused(starts_ref, sw_ref, a_ref, x_hbm, w_ref,
+                       agg_ref, out_ref, band, sems, *, bb, precision):
+    i = pl.program_id(0)
+    s = pl.num_programs(0)
+
+    def get_dma(j, slot):
+        start = pl.multiple_of(starts_ref[j], 16)
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(start, bb), :], band.at[slot], sems.at[slot])
+
+    @pl.when(i == 0)
+    def _():
+        get_dma(0, 0).start()
+
+    @pl.when(i + 1 < s)
+    def _():
+        get_dma(i + 1, (i + 1) % 2).start()
+
+    get_dma(i, i % 2).wait()
+    agg = jnp.dot(
+        a_ref[0].astype(band.dtype),
+        band[i % 2],
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+    agg_ref[0] = agg.astype(agg_ref.dtype)
+    out_ref[0] = jnp.dot(
+        agg.astype(w_ref.dtype),
+        w_ref[:],
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    ).astype(out_ref.dtype)
+
+
+def band_fused_spmm_direct(sw_ids, starts, a, xp, w, num_sw, out_dtype):
+    """Fused aggregate+update: one kernel computes ``agg = A_band @ band``
+    and ``out = agg @ W`` while the aggregate is still in registers/VMEM —
+    the TPU equivalent of the reference's kernel-fusion headline
+    (hybrid_all_kernel.cu:1639-2770, paper SS V-A: 30.6%% avg backward
+    gain).  Returns (agg, out); agg is the ``output2`` residual the
+    reference's autograd needs (GNN_model.py:98-124), and out never
+    re-reads it from HBM.
+    """
+    sb, bh, bb = a.shape
+    _, d = xp.shape
+    h = w.shape[1]
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if xp.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(sb,),
+        in_specs=[
+            pl.BlockSpec((1, bh, bb), lambda i, s_, w_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # W resident
+        ],
+        out_specs=(
+            pl.BlockSpec((1, bh, d), lambda i, s_, w_: (w_[i], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bh, h), lambda i, s_, w_: (w_[i], 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, bb, d), xp.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_band_kernel_fused, bb=bb, precision=precision),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((num_sw, bh, d), out_dtype),
+            jax.ShapeDtypeStruct((num_sw, bh, h), out_dtype),
+        ),
+        interpret=_interpret(),
+    )(starts, sw_ids, a, xp, w)
+
+
 def band_bucket_spmm_into(buf, sw_ids, starts, a, xp):
     """Direct-write variant: superwindow ``sw_ids[i]``'s output lands at
     ``buf[sw_ids[i]]`` (buf: [num_sw, bh, D], aliased in/out).  Chaining
