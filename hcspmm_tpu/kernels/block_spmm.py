@@ -464,6 +464,41 @@ def band_bucket_spmm_into(buf, sw_ids, starts, a, xp):
     )(starts, sw_ids, a, xp, buf)
 
 
+def spmm_fused_pallas(arrs, x, w, plan, compute_dtype):
+    """Fused ``((A @ X) @ W, A @ X)`` when the plan is a full-coverage
+    single band bucket; returns None otherwise (caller composes the
+    unfused ops instead)."""
+    n, d = x.shape
+    if not plan.band_full_cover:
+        return None
+    num_sw = _cdiv(n, plan.band_h)
+    nonempty = [s for s in range(len(plan.band_widths))
+                if arrs[f"band{s}_start"].shape[0] > 0]
+    if len(nonempty) != 1 or (
+        arrs[f"band{nonempty[0]}_start"].shape[0] != num_sw
+    ):
+        return None
+    s = nonempty[0]
+    dp = _cdiv(d, 128) * 128
+    pad_rows = max(plan.xp_rows - n, 1)
+    xp = jnp.concatenate([x, jnp.zeros((pad_rows, d), x.dtype)])
+    if dp != d:
+        xp = jnp.pad(xp, ((0, 0), (0, dp - d)))
+    xp = xp.astype(compute_dtype)
+    wp = w.astype(compute_dtype)
+    if dp != d:
+        wp = jnp.pad(wp, ((0, dp - d), (0, 0)))
+    agg, out = band_fused_spmm_direct(
+        arrs[f"band{s}_sw"], arrs[f"band{s}_start"], arrs[f"band{s}_a"],
+        xp, wp, num_sw, x.dtype,
+    )
+    h = w.shape[1]
+    return (
+        out.reshape(num_sw * plan.band_h, h)[:n],
+        agg.reshape(num_sw * plan.band_h, dp)[:n, :d],
+    )
+
+
 # ---------------------------------------------------------------------------
 # full hybrid SpMM (pallas paths + XLA residual/merge)
 # ---------------------------------------------------------------------------

@@ -169,7 +169,28 @@ def make_spmm(
     """
     cd = _dtype(compute_dtype)
     pb = plan if plan_bwd is None else plan_bwd
+    fwd_impl, bwd_impl = _build_impls(plan, pb, cd, impl)
 
+    @jax.custom_vjp
+    def spmm(arrs_f, arrs_b, x):
+        return fwd_impl(arrs_f, x)
+
+    def spmm_fwd(arrs_f, arrs_b, x):
+        return fwd_impl(arrs_f, x), (arrs_f, arrs_b)
+
+    def spmm_bwd(res, g):
+        arrs_f, arrs_b = res
+        return (
+            _float0_zeros(arrs_f),
+            _float0_zeros(arrs_b),
+            bwd_impl(arrs_b, g),
+        )
+
+    spmm.defvjp(spmm_fwd, spmm_bwd)
+    return spmm
+
+
+def _build_impls(plan, pb, cd, impl):
     if impl == "pallas":
         from hcspmm_tpu.kernels.block_spmm import spmm_pallas
 
@@ -200,24 +221,92 @@ def make_spmm(
             )
     else:
         raise ValueError(f"unknown impl: {impl}")
+    return fwd_impl, bwd_impl
+
+
+def _fused_impl(plan, cd, impl, fwd_impl):
+    """((A@X) @ W, A@X) forward: one fused Pallas kernel when the plan
+    allows, else compose (the reference ships these as separate fused
+    kernels, hybrid_all_kernel.cu:1639-2770)."""
+    if impl == "pallas":
+        from hcspmm_tpu.kernels.block_spmm import spmm_fused_pallas
+
+        def run(arrs, x, w):
+            res = spmm_fused_pallas(arrs, x, w, plan, cd)
+            if res is not None:
+                return res
+            agg = fwd_impl(arrs, x)
+            return jnp.dot(agg, w, preferred_element_type=jnp.float32
+                           ).astype(x.dtype), agg
+    else:
+        def run(arrs, x, w):
+            agg = fwd_impl(arrs, x)
+            return jnp.dot(agg, w, preferred_element_type=jnp.float32
+                           ).astype(x.dtype), agg
+    return run
+
+
+def make_fused_ops(
+    plan: ExecutionPlan,
+    plan_bwd: Optional[ExecutionPlan] = None,
+    compute_dtype: str = "float32",
+    impl: str = "xla",
+):
+    """Differentiable fused layer ops mirroring the reference autograd:
+
+    - ``gin(arrs_f, arrs_b, x, w) -> (A x) w`` — HCSPMMFunction_GINFixed32
+      (GNN_model.py:166-184): fused forward, backward = one aggregation
+      of (dZ w^T) plus a GEMM for dW against the saved aggregate.
+    - ``gcn(arrs_f, arrs_b, x, w) -> A (x w)`` — HCSPMMFunctionFixed32
+      (GNN_model.py:82-103): plain forward, *fused backward*: one kernel
+      produces (A dZ) w^T = dX and A dZ; dW = x^T (A dZ).  This is the
+      paper's 30.6%-avg fused-backward win (Table VI), Pallas-style.
+    """
+    cd = _dtype(compute_dtype)
+    pb = plan if plan_bwd is None else plan_bwd
+    fwd_impl, bwd_impl = _build_impls(plan, pb, cd, impl)
+    fused_f = _fused_impl(plan, cd, impl, fwd_impl)
+    fused_b = _fused_impl(pb, cd, impl, bwd_impl)
 
     @jax.custom_vjp
-    def spmm(arrs_f, arrs_b, x):
-        return fwd_impl(arrs_f, x)
+    def gin(arrs_f, arrs_b, x, w):
+        out, _ = fused_f(arrs_f, x, w)
+        return out
 
-    def spmm_fwd(arrs_f, arrs_b, x):
-        return fwd_impl(arrs_f, x), (arrs_f, arrs_b)
+    def gin_fwd(arrs_f, arrs_b, x, w):
+        out, agg = fused_f(arrs_f, x, w)
+        return out, (arrs_f, arrs_b, x, w, agg)
 
-    def spmm_bwd(res, g):
-        arrs_f, arrs_b = res
-        return (
-            _float0_zeros(arrs_f),
-            _float0_zeros(arrs_b),
-            bwd_impl(arrs_b, g),
-        )
+    def gin_bwd(res, g):
+        arrs_f, arrs_b, x, w, agg = res
+        dagg = jnp.dot(g, w.T, preferred_element_type=jnp.float32
+                       ).astype(x.dtype)
+        dx = bwd_impl(arrs_b, dagg)
+        dw = jnp.dot(agg.T, g, preferred_element_type=jnp.float32
+                     ).astype(w.dtype)
+        return (_float0_zeros(arrs_f), _float0_zeros(arrs_b), dx, dw)
 
-    spmm.defvjp(spmm_fwd, spmm_bwd)
-    return spmm
+    gin.defvjp(gin_fwd, gin_bwd)
+
+    @jax.custom_vjp
+    def gcn(arrs_f, arrs_b, x, w):
+        xw = jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
+        return fwd_impl(arrs_f, xw)
+
+    def gcn_fwd(arrs_f, arrs_b, x, w):
+        xw = jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
+        return fwd_impl(arrs_f, xw), (arrs_f, arrs_b, x, w)
+
+    def gcn_bwd(res, g):
+        arrs_f, arrs_b, x, w = res
+        # fused backward: (A dZ) w^T and A dZ from one kernel
+        dx, adz = fused_b(arrs_b, g, w.T.astype(g.dtype))
+        dw = jnp.dot(x.T, adz, preferred_element_type=jnp.float32
+                     ).astype(w.dtype)
+        return (_float0_zeros(arrs_f), _float0_zeros(arrs_b), dx, dw)
+
+    gcn.defvjp(gcn_fwd, gcn_bwd)
+    return {"gin": gin, "gcn": gcn}
 
 
 class HybridSpMM:
@@ -250,6 +339,10 @@ class HybridSpMM:
             rp_t, ci_t = transpose_csr(row_pointers, column_index, num_nodes)
             self.plan_bwd = build_plan(rp_t, ci_t, num_nodes, config)
         self._fn = make_spmm(
+            self.plan, self.plan_bwd,
+            compute_dtype=config.compute_dtype, impl=config.impl,
+        )
+        self._fused = make_fused_ops(
             self.plan, self.plan_bwd,
             compute_dtype=config.compute_dtype, impl=config.impl,
         )
@@ -286,6 +379,24 @@ class HybridSpMM:
             xs = (x * inv).astype(x.dtype)
             return (self._fn(arrays["f"], arrays["b"], xs) * inv).astype(x.dtype)
         return self._fn(arrays["f"], arrays["b"], x)
+
+    def gcn_apply(self, arrays, x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+        """Fused GCN layer core A (x w) with the fused backward (one
+        kernel computes (A dZ) w^T and A dZ).  Falls back to the unfused
+        composition in normalized mode."""
+        if "inv_sqrt_deg" in arrays:
+            return self.apply(arrays, jnp.dot(
+                x, w, preferred_element_type=jnp.float32).astype(x.dtype))
+        return self._fused["gcn"](arrays["f"], arrays["b"], x, w)
+
+    def gin_apply(self, arrays, x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+        """Fused GIN layer core (A x) w (fused forward keeps the aggregate
+        in VMEM; it is also the saved residual for dW)."""
+        if "inv_sqrt_deg" in arrays:
+            agg = self.apply(arrays, x)
+            return jnp.dot(agg, w, preferred_element_type=jnp.float32
+                           ).astype(x.dtype)
+        return self._fused["gin"](arrays["f"], arrays["b"], x, w)
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         # Convenience form.  Inside a caller's jit, ``self.arrays`` become

@@ -48,13 +48,29 @@ def make_train_step(
     ops.spmm.make_spmm).
     """
     arrays = getattr(spmm, "arrays", None)
-    apply_fn = (
-        (lambda a, x: spmm.apply(a, x)) if arrays is not None
-        else (lambda a, x: spmm(x))
-    )
+
+    class _Bound:
+        """spmm closure carrying the threaded arrays + fused layer forms."""
+
+        def __init__(self, arrs):
+            self._arrs = arrs
+
+        def __call__(self, x):
+            return spmm.apply(self._arrs, x)
+
+        def gcn_fused(self, x, w):
+            return spmm.gcn_apply(self._arrs, x, w)
+
+        def gin_fused(self, x, w):
+            return spmm.gin_apply(self._arrs, x, w)
+
+    def make_bound(arrs):
+        if arrays is None:
+            return spmm  # plain callable
+        return _Bound(arrs)
 
     def loss_fn(params, arrs, x, y, rng):
-        logp = net_forward(net, params, lambda v: apply_fn(arrs, v), x,
+        logp = net_forward(net, params, make_bound(arrs), x,
                            dropout_rng=rng, train=True)
         return nll_loss(logp, y)
 

@@ -144,3 +144,48 @@ def test_train_resume_roundtrip(tmp_path):
     res2 = train(net, op, x, y, epochs=1, warmup_epochs=0,
                  init_params=params)
     assert np.isfinite(res2["final_loss"])
+
+
+def test_fused_layer_ops_match_composed():
+    """gcn_apply / gin_apply (fused kernels + fused backward) must match
+    the composed spmm+matmul dataflow in values AND gradients."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from hcspmm_tpu.config import PlanConfig
+    from hcspmm_tpu.graphs import io as _io
+    from hcspmm_tpu.format import reorder as _ro
+    from hcspmm_tpu.ops.spmm import HybridSpMM
+
+    src, dst, nn = _io.synthetic_blocks(600, 6, block_size=100, seed=2)
+    rp, ci = _io.to_csr(src, dst, nn)
+    perm = _ro.rcm_reorder(rp, ci, nn)
+    rp, ci = _ro.apply_permutation(rp, ci, nn, perm)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(nn, 16).astype(np.float32))
+    w = jnp.asarray(rng.randn(16, 8).astype(np.float32))
+
+    for impl in ("xla", "pallas"):
+        op = HybridSpMM(rp, ci, nn, PlanConfig(
+            band_mode="always", band_h=64, band_widths=(256,), impl=impl))
+
+        def comp_gcn(x_, w_):
+            return op.apply(op.arrays, jnp.dot(x_, w_))
+
+        def comp_gin(x_, w_):
+            return jnp.dot(op.apply(op.arrays, x_), w_)
+
+        for fused_fn, comp_fn in (
+            (lambda a, b: op.gcn_apply(op.arrays, a, b), comp_gcn),
+            (lambda a, b: op.gin_apply(op.arrays, a, b), comp_gin),
+        ):
+            zf = np.asarray(fused_fn(x, w))
+            zc = np.asarray(comp_fn(x, w))
+            np.testing.assert_allclose(zf, zc, rtol=2e-3, atol=2e-3)
+            gf = jax.grad(lambda a, b: (fused_fn(a, b) ** 2).sum(),
+                          argnums=(0, 1))(x, w)
+            gc = jax.grad(lambda a, b: (comp_fn(a, b) ** 2).sum(),
+                          argnums=(0, 1))(x, w)
+            for a_, b_ in zip(gf, gc):
+                np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
+                                           rtol=2e-3, atol=2e-3)
