@@ -35,7 +35,7 @@ import sys
 import time
 
 
-def chained_timer(fn, x, k1: int, k2: int, trials: int = 3):
+def chained_timer(fn, x, k1: int, k2: int, trials: int = 4):
     """Per-application seconds of ``fn`` via in-jit scan-chain differencing."""
     from hcspmm_tpu.models.sag import chained_apply_time
 
@@ -53,7 +53,7 @@ def main() -> int:
     reorder_mode = os.environ.get("HCSPMM_BENCH_REORDER", "rcm")
     band = os.environ.get("HCSPMM_BENCH_BAND", "auto")
     block = int(os.environ.get("HCSPMM_BENCH_BLOCK", 300))
-    k = int(os.environ.get("HCSPMM_BENCH_K", 12))
+    k = int(os.environ.get("HCSPMM_BENCH_K", 20))
     # single band bucket triggers the no-alias direct-write kernel: one
     # pallas call produces the whole output (multi-bucket aliasing chains
     # measured ~2x slower at DD scale)
@@ -110,7 +110,7 @@ def main() -> int:
     x = jnp.asarray(
         np.random.RandomState(0).randn(nn, dim).astype(np.float32)
     ).astype(dtype)
-    dur = chained_timer(op, x, k1=2, k2=2 + k)
+    dur = chained_timer(op, x, k1=2, k2=2 + k, trials=4)
 
     gnnz = nnz / dur / 1e9
     baseline_gnnz = 13.87  # RTX 3090, DD, BASELINE.md Table XVI
@@ -121,10 +121,25 @@ def main() -> int:
         "vs_baseline": round(gnnz / baseline_gnnz, 4),
     }
     plan = op.plan
+    # roofline: bytes each population must move (A blocks + X + output)
+    xbytes = 2 if dtype == "bfloat16" else 4
+    dp = ((dim + 127) // 128) * 128
+    band_bytes = sum(
+        len(plan.band_sw_ids[s])
+        * (plan.band_h * plan.band_widths[s]          # A int8
+           + plan.band_widths[s] * dp * xbytes)       # X band
+        for s in range(len(plan.band_widths))
+    )
+    total_bytes = band_bytes + nn * dp * xbytes       # + output
+    hbm_gbps = 970.0  # measured effective on this chip (tools/profile_band)
+    roofline_us = total_bytes / hbm_gbps / 1e3
     print(
         json.dumps(
             {
                 "spmm_us": round(dur * 1e6, 2),
+                "roofline_us": round(roofline_us, 2),
+                "roofline_frac": round(roofline_us / (dur * 1e6 + 1e-9), 3),
+                "moved_mb": round(total_bytes / 1e6, 1),
                 "nnz": nnz,
                 "nodes": nn,
                 "dim": dim,
