@@ -65,6 +65,25 @@ def make_dist_spmm(
             x_full = jax.lax.all_gather(x_local, axis, axis=0, tiled=True)
             return _local_spmm(arrs, x_full, sharded, cd)
 
+    elif sharded.mode == "band_halo":
+        hb = sharded.halo_pair
+
+        def body(arrs, x_local):
+            arrs = jax.tree.map(lambda a: a[0], arrs)
+            # two fixed-size boundary-strip exchanges over ICI; the local
+            # view [prev strip | own | next strip] stays contiguous so the
+            # banded MXU path runs unchanged on shards
+            prev_strip = jax.lax.ppermute(
+                x_local[-hb:], axis,
+                [(j, (j + 1) % s) for j in range(s)],
+            )
+            next_strip = jax.lax.ppermute(
+                x_local[:hb], axis,
+                [(j, (j - 1) % s) for j in range(s)],
+            )
+            x_view = jnp.concatenate([prev_strip, x_local, next_strip], axis=0)
+            return _local_spmm(arrs, x_view, sharded, cd)
+
     elif sharded.mode == "halo":
         send_idx = jnp.asarray(sharded.send_idx)
         h = sharded.halo_pair
@@ -85,7 +104,7 @@ def make_dist_spmm(
     else:
         raise ValueError(sharded.mode)
 
-    if sharded.mode == "allgather":
+    if sharded.mode in ("allgather", "band_halo"):
         mapped = shard_map(
             body, mesh=mesh,
             in_specs=(jax.tree.map(lambda _: P(axis), stacked), P(axis)),

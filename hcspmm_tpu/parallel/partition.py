@@ -87,9 +87,9 @@ def build_sharded_plan(
 ) -> ShardedPlan:
     rp = np.asarray(row_pointers, dtype=np.int64)
     ci = np.asarray(column_index, dtype=np.int32)
-    # The banded path assumes the local X view is the global column space:
-    # valid under allgather; halo remapping breaks contiguity, so halo
-    # plans carve bands out (component-aware halo banding is future work).
+    # The banded path needs a contiguous local X view: valid under
+    # allgather (global space) and band_halo (boundary strips), but the
+    # index-gather halo breaks contiguity, so 'halo' plans carve bands out.
     if mode == "halo":
         config = dataclasses.replace(config, band_mode="never")
     wh = config.window_h
@@ -134,6 +134,43 @@ def build_sharded_plan(
         probe = shard_plans(lambda s: n_padded)
         plans = shard_plans(lambda s: n_padded, caps=caps_of(probe))
         send_idx, halo_pair = None, 0
+    elif mode == "band_halo":
+        # Fixed-size contiguous halo: after band-friendly (RCM/LOA/pack)
+        # ordering, a shard's rows only reference columns within +-Hb of
+        # its own range, so the exchange is ONE boundary strip of Hb rows
+        # per neighbour direction (two ppermutes of [Hb, D] over ICI) and
+        # the local X view [prev strip | own | next strip] stays
+        # CONTIGUOUS -- the banded MXU path runs unchanged on shards.
+        hb = int(max(config.band_widths)) if config.band_widths else 0
+        if hb <= 0:
+            raise ValueError("band_halo requires band_widths")
+        if hb > rows_per:
+            raise ValueError(
+                f"band_halo strip ({hb}) exceeds rows per shard "
+                f"({rows_per}); use fewer shards, smaller band_widths, or "
+                "mode='allgather'"
+            )
+        halo_pair = hb
+        send_idx = None
+        for i in range(num_shards):
+            lo = min(i * rows_per, num_nodes)
+            hi = min((i + 1) * rows_per, num_nodes)
+            if rp[lo] < rp[hi]:
+                cmin = int(ci[rp[lo]: rp[hi]].min())
+                cmax = int(ci[rp[lo]: rp[hi]].max())
+                if cmin < i * rows_per - hb or cmax >= (i + 1) * rows_per + hb:
+                    raise ValueError(
+                        f"shard {i} references columns outside its +-{hb}"
+                        " halo window; reorder the graph (rcm/pack) or use"
+                        " mode='halo'/'allgather'"
+                    )
+
+        def remap_band(i: int, lci: np.ndarray) -> np.ndarray:
+            return (lci.astype(np.int64) - (i * rows_per - hb)).astype(np.int32)
+
+        local_cols = rows_per + 2 * hb
+        probe = shard_plans(lambda s: local_cols, remap_band)
+        plans = shard_plans(lambda s: local_cols, remap_band, caps_of(probe))
     elif mode == "halo":
         # Needed remote rows per (requester i, owner j != i).
         need: List[List[np.ndarray]] = []
@@ -203,7 +240,7 @@ def build_sharded_plan(
         num_sparse_rows=plans[0].num_sparse_rows,
         mode=mode,
         stacked=stacked,
-        halo_pair=halo_pair if mode == "halo" else 0,
+        halo_pair=halo_pair if mode in ("halo", "band_halo") else 0,
         send_idx=send_idx if mode == "halo" else None,
         plans=plans,
     )

@@ -117,3 +117,56 @@ def test_allgather_band_path_matches_oracle():
     z = np.asarray(op(jax.device_put(op.pad(x), op.sharding)))[:nn]
     ref = spmm_reference_dense(rp, ci, nn, x)
     np.testing.assert_allclose(z, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_band_halo_matches_oracle():
+    """Fixed-size boundary-strip halo: bands run unchanged on shards; the
+    exchange is two ppermutes of the largest band width per direction."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from hcspmm_tpu.config import PlanConfig
+    from hcspmm_tpu.graphs import io
+    from hcspmm_tpu.format import reorder as _ro
+    from hcspmm_tpu.ops.spmm import spmm_reference_dense
+    from hcspmm_tpu.parallel.dist_spmm import DistHybridSpMM
+
+    src, dst, nn = io.synthetic_blocks(2048, 6, block_size=64, seed=5)
+    rp, ci = io.to_csr(src, dst, nn)
+    perm = _ro.rcm_reorder(rp, ci, nn)
+    rp, ci = _ro.apply_permutation(rp, ci, nn, perm)
+    x = np.random.RandomState(0).randn(nn, 16).astype(np.float32)
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("x",))
+    cfg = PlanConfig(band_mode="always", band_h=64, band_widths=(128, 256))
+    op = DistHybridSpMM(rp, ci, nn, mesh, config=cfg, mode="band_halo")
+    assert op.sharded.halo_pair == 256
+    assert any(len(p.band_sw_ids[s]) > 0
+               for p in op.sharded.plans
+               for s in range(len(p.band_widths)))
+    z = np.asarray(op(jax.device_put(op.pad(x), op.sharding)))[:nn]
+    ref = spmm_reference_dense(rp, ci, nn, x)
+    np.testing.assert_allclose(z, ref, rtol=1e-4, atol=1e-4)
+
+    # gradient flows through the ppermutes
+    import jax.numpy as jnp
+    xs = jax.device_put(op.pad(x), op.sharding)
+    g = jax.grad(lambda v: (op.apply(op.arrays, v) ** 2).sum())(jnp.asarray(xs))
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_band_halo_rejects_out_of_window_columns():
+    import pytest
+
+    from hcspmm_tpu.config import PlanConfig
+    from hcspmm_tpu.graphs import io
+    from hcspmm_tpu.parallel.partition import build_sharded_plan
+
+    # wide-span graph: shard rows reference far-away columns
+    src, dst, nn = io.synthetic_graph(2048, 6, seed=0, span=2000)
+    rp, ci = io.to_csr(src, dst, nn)
+    with pytest.raises(ValueError, match="halo window"):
+        build_sharded_plan(rp, ci, nn, 4,
+                           PlanConfig(band_widths=(128,), band_h=64),
+                           mode="band_halo")

@@ -30,7 +30,7 @@ def main() -> int:
     p.add_argument("--dim", type=int, default=96)
     p.add_argument("--block", type=int, default=300)
     p.add_argument("--mode", type=str, default="halo",
-                   choices=["halo", "allgather"])
+                   choices=["halo", "allgather", "band_halo"])
     p.add_argument("--force-cpu-devices", type=int, default=0)
     args = p.parse_args()
 
@@ -57,6 +57,12 @@ def main() -> int:
     src, dst, nn = io.synthetic_blocks(args.nodes, args.degree, args.block,
                                        seed=7)
     rp, ci = io.to_csr(src, dst, nn)
+    if args.mode == "band_halo":
+        # band_halo needs a band-friendly ordering
+        from hcspmm_tpu.format import reorder as _ro
+
+        perm = _ro.rcm_reorder(rp, ci, nn)
+        rp, ci = _ro.apply_permutation(rp, ci, nn, perm)
     nnz = int(rp[-1])
     x = np.random.RandomState(0).randn(nn, args.dim).astype(np.float32)
 
