@@ -53,15 +53,20 @@ def chained_apply_time(fn: Callable, x: jnp.ndarray, k1: int = 2,
     float(g1(arrays, x))
     float(g2(arrays, x))
 
-    def best(g):
-        b = float("inf")
+    def samples(g):
+        out = []
         for _ in range(trials):
             t0 = time.perf_counter()
             float(g(arrays, x))
-            b = min(b, time.perf_counter() - t0)
-        return b
+            out.append(time.perf_counter() - t0)
+        return sorted(out)
 
-    return (best(g2) - best(g1)) / (k2 - k1)
+    def median(v):
+        return v[len(v) // 2] if len(v) % 2 else 0.5 * (v[len(v) // 2 - 1] + v[len(v) // 2])
+
+    # medians are robust to the tunnel's occasional multi-ms stalls
+    # (min-of-N differencing can even go negative under contention)
+    return (median(samples(g2)) - median(samples(g1))) / (k2 - k1)
 
 
 class SAG:
