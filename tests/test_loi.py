@@ -80,3 +80,24 @@ def test_calibrate_with_fake_timers():
     labels = (nnz * 0.05 < blocks * 1.0)
     pred = (coeffs.w_cols * uniq + coeffs.w_density * density + coeffs.bias) > 0
     assert (pred == labels).mean() > 0.85
+
+
+def test_calibrated_mode_uses_tpu_coefficients():
+    """loi_mode='calibrated' with stock config must pick up the
+    hardware-refit coefficients (config.LOI_TPU_V5E), which route far
+    more windows to the MXU path than the GPU-fitted defaults."""
+    import numpy as np
+
+    from hcspmm_tpu.config import LOI_TPU_V5E, LOICoefficients
+    from hcspmm_tpu.format.windows import analyze_windows
+    from hcspmm_tpu.graphs import io
+
+    src, dst, nn = io.synthetic_graph(600, 8, seed=1, span=64)
+    rp, ci = io.to_csr(src, dst, nn)
+    wa_cal = analyze_windows(rp, ci, nn, loi_mode="calibrated")
+    wa_custom = analyze_windows(rp, ci, nn, loi_mode="calibrated",
+                                loi_coeffs=LOI_TPU_V5E)
+    np.testing.assert_array_equal(wa_cal.hybrid_type, wa_custom.hybrid_type)
+    # the GPU-fitted 'intended' rule routes (weakly) fewer windows dense
+    wa_int = analyze_windows(rp, ci, nn, loi_mode="intended")
+    assert wa_cal.hybrid_type.sum() >= wa_int.hybrid_type.sum()
