@@ -53,7 +53,7 @@ def main() -> int:
         band_h=args.band_h, band_widths=(args.width,), band_mode="always"))
     s_idx = 0
     starts = jnp.asarray(plan.band_starts[s_idx])
-    a = jnp.asarray(plan.band_a[s_idx])
+    a = jnp.asarray(plan.band_a_dense(s_idx))
     sb, bh, bb = a.shape
     print(f"# supers={sb} of {(nn + args.band_h - 1)//args.band_h} "
           f"band_nnz_frac={plan.band_nnz/plan.nnz:.3f}", file=_sys.stderr)
