@@ -62,3 +62,45 @@ def test_pallas_gradient_matches_xla():
     gx = jax.grad(lambda v: loss(op_x, v))(jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
                                rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("n,deg,dim", [
+    (17, 2, 1),        # tiny graph, dim 1
+    (100, 3, 130),     # dim just over one lane tile
+    (100, 3, 257),     # dim over two lane tiles
+    (3, 1, 8),         # n smaller than every block size
+])
+def test_pallas_adversarial_shapes(n, deg, dim):
+    rp, ci, nn = small_graph(n, deg, span=max(4, n // 4))
+    check(rp, ci, nn, dim, PlanConfig(impl="pallas"), tol=1e-4)
+
+
+def test_pallas_single_node_self_loop():
+    import numpy as np
+
+    rp = np.array([0, 1], np.int32)
+    ci = np.array([0], np.int32)
+    check(rp, ci, 1, 5, PlanConfig(impl="pallas"), tol=1e-5)
+
+
+def test_pallas_empty_graph():
+    import numpy as np
+
+    rp = np.zeros(33, np.int32)
+    ci = np.zeros(0, np.int32)
+    x = np.random.RandomState(0).randn(32, 9).astype(np.float32)
+    import jax
+
+    from hcspmm_tpu.ops.spmm import HybridSpMM
+
+    op = HybridSpMM(rp, ci, 32, PlanConfig(impl="pallas"))
+    z = np.asarray(jax.jit(op)(x))
+    assert (z == 0).all()
+
+
+def test_pallas_band_smaller_than_graph_pad():
+    # graph smaller than the largest band bucket: xp row padding must cover
+    rp, ci, nn = small_graph(40, 4, span=8)
+    check(rp, ci, nn, 16,
+          PlanConfig(impl="pallas", band_mode="always",
+                     band_h=32, band_widths=(64, 2048)), tol=1e-5)
