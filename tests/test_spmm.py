@@ -162,3 +162,31 @@ def test_band_gradient():
         a[r, ci[rp[r]: rp[r + 1]]] = 1.0
     gref = 2 * a.T @ (a @ np.asarray(x, np.float64))
     np.testing.assert_allclose(np.asarray(g), gref, rtol=1e-3, atol=1e-3)
+
+
+def test_multi_bucket_band_aliasing_chain():
+    """Mixed component sizes that defeat the single-bucket collapse rule:
+    the full-coverage output must assemble through the aliasing chain."""
+    rng = np.random.RandomState(0)
+    sizes = [40] * 60 + [400] * 2
+    src_p, dst_p, lo = [], [], 0
+    for s_ in sizes:
+        cnt = s_ * 4
+        src_p.append(rng.randint(lo, lo + s_, cnt))
+        dst_p.append(rng.randint(lo, lo + s_, cnt))
+        lo += s_
+    src = np.concatenate(src_p); dst = np.concatenate(dst_p)
+    k = src != dst
+    src, dst = src[k], dst[k]
+    src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
+    rp, ci = io.to_csr(src, dst, lo)
+    from hcspmm_tpu.format import reorder as _ro
+
+    perm = _ro.rcm_reorder(rp, ci, lo)
+    rp, ci = _ro.apply_permutation(rp, ci, lo, perm)
+    op = check(rp, ci, lo, 48,
+               PlanConfig(impl="pallas", band_mode="always", band_h=64,
+                          band_widths=(128, 512)), tol=1e-4)
+    used = [len(s) for s in op.plan.band_sw_ids if len(s) > 0]
+    assert len(used) >= 2, used          # genuinely multi-bucket
+    assert op.plan.band_full_cover
