@@ -194,11 +194,13 @@ class ExecutionPlan:
             d[f"band{s}_start"] = self.band_starts[s]
             if dense_band:
                 d[f"band{s}_a"] = self.band_a_dense(s)
-            # pad to capacity for uniform shard stacking; the direct-write
-            # kernel path is gated on real count == capacity (block_spmm)
+            # pad to capacity for uniform shard stacking / grouped grid
+            # steps; padded entries point at the direct-write buffer's
+            # trash block (index num_superwindows, see kernels.block_spmm)
+            num_sw = -(-self.num_nodes // self.band_h)
             d[f"band{s}_sw"] = _pad_to(
                 self.band_sw_ids[s].astype(np.int32),
-                self.band_starts[s].shape[0], 0,
+                self.band_starts[s].shape[0], num_sw,
             )
         return d
 
@@ -330,6 +332,8 @@ def build_plan(
             sws = np.where(band_sel & (bucket_sw == s))[0].astype(np.int64)
             # zero-capacity when empty (impls skip the kernel launch);
             # caps force a min capacity for uniform shard stacking
+            # (capacity-padded entries carry the trash sw_id, see
+            # device_arrays)
             sb = max(len(sws), caps_s[s])
             starts_arr = np.zeros(sb, dtype=np.int32)
             edges = np.zeros((0, 3), dtype=np.int32)

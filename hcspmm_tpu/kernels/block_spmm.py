@@ -307,11 +307,97 @@ def _band_kernel_direct(starts_ref, sw_ref, a_ref, x_hbm, out_ref,
                       band, sems, bb=bb, precision=precision)
 
 
+def _band_kernel_grouped(starts_ref, a_ref, x_hbm, out_ref, band, sems, *,
+                         group, bb, precision):
+    i = pl.program_id(0)
+    s = pl.num_programs(0)
+
+    def get_dma(step, g, slot):
+        start = pl.multiple_of(starts_ref[step * group + g], 16)
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(start, bb), :],
+            band.at[slot, g],
+            sems.at[slot, g],
+        )
+
+    @pl.when(i == 0)
+    def _():
+        for g in range(group):
+            get_dma(0, g, 0).start()
+
+    @pl.when(i + 1 < s)
+    def _():
+        for g in range(group):
+            get_dma(i + 1, g, (i + 1) % 2).start()
+
+    for g in range(group):
+        get_dma(i, g, i % 2).wait()
+    out_ref[:] = jax.lax.dot_general(
+        a_ref[:].astype(band.dtype),
+        band[i % 2],
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    ).astype(out_ref.dtype)
+
+
+def band_bucket_spmm_grouped(starts, a, xp, num_sw, out_dtype,
+                             group: int = 4):
+    """Full-coverage single-bucket path with ``group`` superwindows per
+    grid step (identity superwindow order).  EXPERIMENT, NOT USED: on v5e
+    at DD scale this measured *slower* than the per-super direct kernel
+    (direct 1164 us; G=1 1422 / G=2 1347 / G=4 1293 / G=8 1431 via
+    tools/ab_grouped.py) — the ~850 ns/step gap is not a fixed per-step
+    cost that batching amortizes.  Kept for re-testing on runtime
+    upgrades."""
+    sb, bh, bb = a.shape
+    _, d = xp.shape
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if xp.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    # capacity is plan-padded to a multiple of 4; never pad in-trace (a
+    # traced concat copies the whole A array per call)
+    while group > 1 and sb % group:
+        group //= 2
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(sb // group,),
+        in_specs=[
+            pl.BlockSpec((group, bh, bb), lambda i, s_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((group, bh, d), lambda i, s_: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, group, bb, d), xp.dtype),
+            pltpu.SemaphoreType.DMA((2, group)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_band_kernel_grouped, group=group, bb=bb,
+                          precision=precision),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((sb, bh, d), out_dtype),
+        interpret=_interpret(),
+    )(starts, a, xp)
+    return out[:num_sw]
+
+
 def band_bucket_spmm_direct(sw_ids, starts, a, xp, num_sw, out_dtype):
     """Single-bucket full-coverage direct write: every output block is
     written by exactly one grid step, so no init buffer or aliasing chain
-    is needed at all (the aliasing path copies the buffer per call)."""
+    is needed at all (the aliasing path copies the buffer per call).
+
+    Accepts capacity-padded inputs: padded entries carry ``sw_id ==
+    num_sw`` and land in a trailing trash block, allocated only when
+    padding is actually present (the [:num_sw] slice of the padded case
+    costs a full-output copy pass, so the unpadded common case keeps the
+    exact shape)."""
     sb, bh, bb = a.shape
+    trash = sb > num_sw
     _, d = xp.shape
     precision = (
         jax.lax.Precision.HIGHEST
@@ -333,12 +419,14 @@ def band_bucket_spmm_direct(sw_ids, starts, a, xp, num_sw, out_dtype):
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_band_kernel_direct, bb=bb, precision=precision),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((num_sw, bh, d), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((num_sw + int(trash), bh, d),
+                                       out_dtype),
         interpret=_interpret(),
     )(starts, sw_ids, a, xp)
+    return out[:num_sw] if trash else out
 
 
 def _band_kernel_fused(starts_ref, sw_ref, a_ref, x_hbm, w_ref,
@@ -412,12 +500,15 @@ def band_fused_spmm_direct(sw_ids, starts, a, xp, w, num_sw, out_dtype):
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
+    # trailing trash block absorbs capacity-padded dummy supers (only
+    # allocated when padding is present; callers slice to num_sw blocks)
+    trash = int(sb > num_sw)
     return pl.pallas_call(
         functools.partial(_band_kernel_fused, bb=bb, precision=precision),
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((num_sw, bh, d), out_dtype),
-            jax.ShapeDtypeStruct((num_sw, bh, h), out_dtype),
+            jax.ShapeDtypeStruct((num_sw + trash, bh, d), out_dtype),
+            jax.ShapeDtypeStruct((num_sw + trash, bh, h), out_dtype),
         ),
         interpret=_interpret(),
     )(starts, sw_ids, a, xp, w)
@@ -474,9 +565,7 @@ def spmm_fused_pallas(arrs, x, w, plan, compute_dtype):
     num_sw = _cdiv(n, plan.band_h)
     nonempty = [s for s in range(len(plan.band_widths))
                 if arrs[f"band{s}_start"].shape[0] > 0]
-    if len(nonempty) != 1 or (
-        arrs[f"band{nonempty[0]}_start"].shape[0] != num_sw
-    ):
+    if len(nonempty) != 1 or len(plan.band_sw_ids[nonempty[0]]) != num_sw:
         return None
     s = nonempty[0]
     dp = _cdiv(d, 128) * 128
@@ -494,8 +583,8 @@ def spmm_fused_pallas(arrs, x, w, plan, compute_dtype):
     )
     h = w.shape[1]
     return (
-        out.reshape(num_sw * plan.band_h, h)[:n],
-        agg.reshape(num_sw * plan.band_h, dp)[:n, :d],
+        out.reshape(out.shape[0] * plan.band_h, h)[:n],
+        agg.reshape(agg.shape[0] * plan.band_h, dp)[:n, :d],
     )
 
 
@@ -530,10 +619,8 @@ def spmm_pallas(arrs, x, plan, compute_dtype):
     # Fast path: every superwindow is band-covered (typical after
     # LOA/RCM reordering) -> direct-write kernels assemble the output in
     # place; no concat, no merge gather (saves two full output passes).
-    full_direct = plan.band_full_cover and all(
-        len(plan.band_sw_ids[s]) == arrs[f"band{s}_start"].shape[0]
-        for s in range(len(plan.band_widths))
-    )
+    # Capacity-padded dummy supers write into a trailing trash block.
+    full_direct = plan.band_full_cover
     if full_direct:
         # (lane dim must stay 128-padded: Mosaic rejects DMA refs whose
         # lane extent is not a tile multiple, even unsliced.  The final
@@ -542,21 +629,30 @@ def spmm_pallas(arrs, x, plan, compute_dtype):
         nonempty = [s for s in range(len(plan.band_widths))
                     if arrs[f"band{s}_start"].shape[0] > 0]
         if len(nonempty) == 1 and (
-            arrs[f"band{nonempty[0]}_start"].shape[0] == num_sw
+            len(plan.band_sw_ids[nonempty[0]]) == num_sw
         ):
+            # single bucket covering every superwindow: one no-alias
+            # direct-write call; capacity-padded dummy supers carry
+            # sw_id == num_sw and land in the trailing trash block
             s = nonempty[0]
             buf = band_bucket_spmm_direct(
                 arrs[f"band{s}_sw"], arrs[f"band{s}_start"],
                 arrs[f"band{s}_a"], xp_band, num_sw, x.dtype,
             )
-        else:
-            buf = jnp.zeros((num_sw, plan.band_h, dp), x.dtype)
-            for s in nonempty:
-                buf = band_bucket_spmm_into(
-                    buf, arrs[f"band{s}_sw"], arrs[f"band{s}_start"],
-                    arrs[f"band{s}_a"], xp_band,
-                )
-        return buf.reshape(num_sw * plan.band_h, dp)[:n, :d]
+            return buf.reshape(num_sw * plan.band_h, dp)[:n, :d]
+        # multi-bucket: aliasing chain; a trailing trash block absorbs
+        # capacity-padded dummy supers when padding is present
+        trash = int(any(
+            arrs[f"band{s}_start"].shape[0] > len(plan.band_sw_ids[s])
+            for s in nonempty
+        ))
+        buf = jnp.zeros((num_sw + trash, plan.band_h, dp), x.dtype)
+        for s in nonempty:
+            buf = band_bucket_spmm_into(
+                buf, arrs[f"band{s}_sw"], arrs[f"band{s}_start"],
+                arrs[f"band{s}_a"], xp_band,
+            )
+        return buf[:num_sw].reshape(num_sw * plan.band_h, dp)[:n, :d]
 
     outs = []
     for s in range(len(plan.band_widths)):
