@@ -153,6 +153,32 @@ class ExecutionPlan:
     def num_band_supers(self) -> int:
         return sum(len(s) for s in self.band_sw_ids)
 
+    @property
+    def padded_rows(self) -> int:
+        """Row count M of the padded activation layout ([M, dp] with
+        128-multiple dp): the superwindow grid rounded up.  When
+        ``band_padded_ok`` the SpMM maps [M, dp] -> [M, dp] with no
+        pad/slice passes (rows >= num_nodes stay exactly zero)."""
+        if not self.band_widths:
+            return self.num_nodes
+        return -(-self.num_nodes // self.band_h) * self.band_h
+
+    @property
+    def band_padded_ok(self) -> bool:
+        """True when every band slice fits inside ``padded_rows`` (starts
+        were clamped at build time) so the padded fast path applies."""
+        if not (self.band_widths and self.band_full_cover
+                and self.num_cols == self.num_nodes):
+            return False
+        m = self.padded_rows
+        for s, bbw in enumerate(self.band_widths):
+            st = self.band_starts[s][: len(self.band_sw_ids[s])]
+            if len(st) and int(st.max()) + bbw > m:
+                return False
+            if len(self.band_starts[s]) > len(self.band_sw_ids[s]) and bbw > m:
+                return False  # capacity-padded dummy DMA from row 0
+        return True
+
     def band_a_dense(self, s: int) -> np.ndarray:
         """Dense int8 band blocks [Sb, band_h, Bb] for bucket ``s``."""
         sb = self.band_starts[s].shape[0]
@@ -325,6 +351,22 @@ def build_plan(
                 bytes_single = int(widths_arr[bmax]) * bh * len(sel)
                 if bytes_single <= 1.5 * bytes_multi:
                     bucket_sw[sel] = bmax
+
+        # Clamp band starts so every band slice stays inside the padded
+        # row space M = num_sw*band_h.  Validity: a start may sit anywhere
+        # in [max_col+1-Bb, min_col] (16-aligned); since max_col < n <= M,
+        # M-Bb is always a valid lower position whenever M >= Bb.  With
+        # clamped starts the SpMM closes over the padded layout
+        # [M, dp] -> [M, dp] with ZERO pad/slice passes per application
+        # (see kernels.block_spmm.spmm_pallas_padded).
+        # (square plans only: a rectangular row-block shard's columns span
+        # the *global* space, where max_col may exceed the local M)
+        m_rows = num_sw * bh
+        bbw_of = np.asarray(band_widths + (band_widths[-1],))[
+            np.minimum(bucket_sw, len(band_widths))
+        ]
+        can_clamp = band_sel & (m_rows >= bbw_of) & (n == c)
+        start = np.where(can_clamp, np.minimum(start, m_rows - bbw_of), start)
 
         sw_pos = np.full(num_sw, -1, dtype=np.int64)
         sw_of_edge = wa.edge_to_row.astype(np.int64) // bh

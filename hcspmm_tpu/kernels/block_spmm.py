@@ -593,6 +593,41 @@ def spmm_fused_pallas(arrs, x, w, plan, compute_dtype):
 # ---------------------------------------------------------------------------
 
 
+def spmm_padded_supported(plan) -> bool:
+    """True when ``spmm_pallas_padded`` can run the closed padded layout:
+    full-coverage single-band-bucket plan whose starts were clamped into
+    the padded row space (format.plan builds them that way whenever
+    M >= band width)."""
+    if not plan.band_padded_ok:
+        return False
+    num_sw = plan.padded_rows // plan.band_h
+    nonempty = [s for s in range(len(plan.band_widths))
+                if plan.band_starts[s].shape[0] > 0]
+    return len(nonempty) == 1 and len(plan.band_sw_ids[nonempty[0]]) == num_sw
+
+
+def spmm_pallas_padded(arrs, xp, plan, compute_dtype):
+    """SpMM over the padded activation layout.
+
+    ``xp``: [M, dp] where M = ``plan.padded_rows``, dp is a 128-multiple
+    >= the feature dim, and rows >= num_nodes are zero.  Returns [M, dp]
+    with the same invariant (rows past num_nodes have all-zero A rows, so
+    their outputs are exactly zero).  The layout is CLOSED under
+    application: chained SpMMs and whole GNN layers run with ZERO
+    pad/slice/merge passes — at DD scale those passes cost ~350 us on top
+    of the ~800 us kernel.  Caller gate: ``spmm_padded_supported(plan)``.
+    """
+    m, dp = xp.shape
+    num_sw = m // plan.band_h
+    s = [i for i in range(len(plan.band_widths))
+         if arrs[f"band{i}_start"].shape[0] > 0][0]
+    buf = band_bucket_spmm_direct(
+        arrs[f"band{s}_sw"], arrs[f"band{s}_start"], arrs[f"band{s}_a"],
+        xp, num_sw, xp.dtype,
+    )
+    return buf.reshape(m, dp)
+
+
 def spmm_pallas(arrs, x, plan, compute_dtype):
     """Drop-in for ops.spmm._spmm_xla with Pallas hot paths."""
     n, d = x.shape

@@ -190,6 +190,43 @@ def make_spmm(
     return spmm
 
 
+def make_spmm_padded(
+    plan: ExecutionPlan,
+    plan_bwd: Optional[ExecutionPlan] = None,
+    compute_dtype: str = "float32",
+) -> Optional[Callable]:
+    """Differentiable SpMM over the closed padded layout [M, dp] -> [M, dp]
+    (see kernels.block_spmm.spmm_pallas_padded): zero pad/slice/merge
+    passes per application.  Returns None when the plan doesn't support
+    it (caller uses the unpadded op)."""
+    from hcspmm_tpu.kernels.block_spmm import (
+        spmm_padded_supported, spmm_pallas_padded)
+
+    pb = plan if plan_bwd is None else plan_bwd
+    if not (spmm_padded_supported(plan) and spmm_padded_supported(pb)
+            and pb.padded_rows == plan.padded_rows):
+        return None
+    cd = _dtype(compute_dtype)
+
+    @jax.custom_vjp
+    def spmm_p(arrs_f, arrs_b, xp):
+        return spmm_pallas_padded(arrs_f, xp, plan, cd)
+
+    def fwd(arrs_f, arrs_b, xp):
+        return spmm_pallas_padded(arrs_f, xp, plan, cd), (arrs_f, arrs_b)
+
+    def bwd(res, g):
+        arrs_f, arrs_b = res
+        return (
+            _float0_zeros(arrs_f),
+            _float0_zeros(arrs_b),
+            spmm_pallas_padded(arrs_b, g, pb, cd),
+        )
+
+    spmm_p.defvjp(fwd, bwd)
+    return spmm_p
+
+
 def _build_impls(plan, pb, cd, impl):
     if impl == "pallas":
         from hcspmm_tpu.kernels.block_spmm import spmm_pallas
@@ -346,6 +383,11 @@ class HybridSpMM:
             self.plan, self.plan_bwd,
             compute_dtype=config.compute_dtype, impl=config.impl,
         )
+        self._fn_padded = (
+            make_spmm_padded(self.plan, self.plan_bwd,
+                             compute_dtype=config.compute_dtype)
+            if config.impl == "pallas" else None
+        )
         def to_device(plan):
             # Plans carry band A as compact edge triples; densify on host
             # and upload.  (A device-side scatter was tried and measured
@@ -371,6 +413,52 @@ class HybridSpMM:
             self.arrays["inv_sqrt_deg"] = jnp.asarray(
                 1.0 / np.sqrt(deg.astype(np.float32))
             )
+
+    # ---- closed padded layout: [M, dp] -> [M, dp], zero glue passes ----
+
+    @property
+    def supports_padded(self) -> bool:
+        """True when ``apply_padded`` runs the zero-glue fast path."""
+        return self._fn_padded is not None
+
+    @property
+    def padded_rows(self) -> int:
+        return self.plan.padded_rows
+
+    def pad_input(self, x: jnp.ndarray) -> jnp.ndarray:
+        """[N, D] -> padded [M, dp] in compute dtype (one-time cost; the
+        layout then stays closed across ``apply_padded`` chains/layers)."""
+        n, d = x.shape
+        m = self.plan.padded_rows
+        dp = -(-d // 128) * 128
+        xp = x.astype(_dtype(self.config.compute_dtype))
+        return jnp.pad(xp, ((0, m - n), (0, dp - d)))
+
+    def unpad_output(self, xp: jnp.ndarray, d: Optional[int] = None,
+                     dtype=None) -> jnp.ndarray:
+        """Padded [M, dp] -> [N, d]."""
+        n = self.plan.num_nodes
+        out = xp[:n] if d is None else xp[:n, :d]
+        return out if dtype is None else out.astype(dtype)
+
+    def apply_padded(self, arrays, xp: jnp.ndarray) -> jnp.ndarray:
+        """SpMM in the padded layout.  Falls back to the unpadded op
+        (correct, slower) when the plan lacks the fast path."""
+        if "inv_sqrt_deg" in arrays:
+            inv = arrays["inv_sqrt_deg"]
+            inv = jnp.pad(inv, (0, xp.shape[0] - inv.shape[0]),
+                          constant_values=1.0)[:, None]
+            xs = (xp * inv).astype(xp.dtype)
+            out = (self._padded_core(arrays, xs) * inv).astype(xp.dtype)
+            return out
+        return self._padded_core(arrays, xp)
+
+    def _padded_core(self, arrays, xp):
+        if self._fn_padded is not None:
+            return self._fn_padded(arrays["f"], arrays["b"], xp)
+        n = self.plan.num_nodes
+        out = self._fn(arrays["f"], arrays["b"], xp[:n])
+        return jnp.pad(out.astype(xp.dtype), ((0, xp.shape[0] - n), (0, 0)))
 
     def apply(self, arrays, x: jnp.ndarray) -> jnp.ndarray:
         """Jit-friendly form: plan arrays as traced arguments."""

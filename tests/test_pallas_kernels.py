@@ -104,3 +104,91 @@ def test_pallas_band_smaller_than_graph_pad():
     check(rp, ci, nn, 16,
           PlanConfig(impl="pallas", band_mode="always",
                      band_h=32, band_widths=(64, 2048)), tol=1e-5)
+
+
+class TestPaddedLayout:
+    """Closed padded layout [M, dp] -> [M, dp] (zero glue passes)."""
+
+    def _op(self, n=256, deg=4, dim=24, **cfg):
+        src, dst, nn = io.synthetic_blocks(n, deg, 32, seed=3)
+        rp, ci = io.to_csr(src, dst, nn)
+        from hcspmm_tpu.format import reorder as _ro
+        perm = _ro.rcm_reorder(rp, ci, nn)
+        rp, ci = _ro.apply_permutation(rp, ci, nn, perm)
+        base = dict(impl="pallas", band_mode="always", band_h=32,
+                    band_widths=(128,))
+        base.update(cfg)
+        op = HybridSpMM(rp, ci, nn, PlanConfig(**base))
+        x = np.random.RandomState(1).randn(nn, dim).astype(np.float32)
+        return op, rp, ci, nn, x
+
+    def test_padded_matches_oracle(self):
+        op, rp, ci, nn, x = self._op()
+        assert op.supports_padded, "plan should take the padded fast path"
+        xp = op.pad_input(jnp_asarray(x))
+        out = jax.jit(lambda a, v: op.apply_padded(a, v))(op.arrays, xp)
+        z = np.asarray(op.unpad_output(out, x.shape[1]))
+        zref = spmm_reference_dense(rp, ci, nn, x)
+        scale = np.abs(zref).max() + 1e-9
+        assert np.abs(z - zref).max() / scale < 1e-5
+        # closure invariant: rows >= n exactly zero -> chaining is legal
+        assert (np.asarray(out)[nn:] == 0).all()
+        assert (np.asarray(out)[:, x.shape[1]:] == 0).all()
+
+    def test_padded_chain_matches_double_apply(self):
+        op, rp, ci, nn, x = self._op()
+        xp = op.pad_input(jnp_asarray(x))
+        out2 = jax.jit(lambda a, v: op.apply_padded(a, op.apply_padded(a, v))
+                       )(op.arrays, xp)
+        z2 = np.asarray(op.unpad_output(out2, x.shape[1]))
+        zref = spmm_reference_dense(
+            rp, ci, nn, spmm_reference_dense(rp, ci, nn, x))
+        scale = np.abs(zref).max() + 1e-9
+        assert np.abs(z2 - zref).max() / scale < 1e-5
+
+    def test_padded_gradient_matches_unpadded(self):
+        import jax.numpy as jnp
+
+        op, rp, ci, nn, x = self._op()
+
+        def loss_p(arrays, x):
+            xp = op.pad_input(x)
+            return jnp.sum(op.unpad_output(op.apply_padded(arrays, xp),
+                                           x.shape[1]) ** 2)
+
+        def loss_u(arrays, x):
+            return jnp.sum(op.apply(arrays, x) ** 2)
+
+        xj = jnp_asarray(x)
+        gp = jax.jit(jax.grad(loss_p, argnums=1))(op.arrays, xj)
+        gu = jax.jit(jax.grad(loss_u, argnums=1))(op.arrays, xj)
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gu),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_padded_fallback_when_unsupported(self):
+        # multi-bucket non-full-cover plan: apply_padded must still be
+        # correct through the fallback
+        op, rp, ci, nn, x = self._op(band_mode="never")
+        assert not op.supports_padded
+        xp = op.pad_input(jnp_asarray(x))
+        out = jax.jit(lambda a, v: op.apply_padded(a, v))(op.arrays, xp)
+        z = np.asarray(op.unpad_output(out, x.shape[1]))
+        zref = spmm_reference_dense(rp, ci, nn, x)
+        scale = np.abs(zref).max() + 1e-9
+        assert np.abs(z - zref).max() / scale < 1e-4
+
+    def test_padded_normalized(self):
+        op, rp, ci, nn, x = self._op()
+        opn = HybridSpMM(rp, ci, nn, op.config, normalize=True)
+        xp = opn.pad_input(jnp_asarray(x))
+        out = jax.jit(lambda a, v: opn.apply_padded(a, v))(opn.arrays, xp)
+        z = np.asarray(opn.unpad_output(out, x.shape[1]))
+        zu = np.asarray(jax.jit(lambda a, v: opn.apply(a, v))(
+            opn.arrays, jnp_asarray(x)))
+        np.testing.assert_allclose(z, zu, rtol=1e-5, atol=1e-5)
+
+
+def jnp_asarray(x):
+    import jax.numpy as jnp
+
+    return jnp.asarray(x)

@@ -85,6 +85,21 @@ def main() -> int:
             out_ref[0] = jnp.dot(band[i % 2, :bh, :], band[i % 2][:args.dim, :].T,
                                  preferred_element_type=jnp.float32
                                  ).astype(jnp.bfloat16)[:, :args.dim]
+        elif mode == "mixeddot":
+            # int8 lhs fed straight to the MXU dot (no explicit astype):
+            # does Mosaic fold the convert into the operand feed?
+            out_ref[0] = jax.lax.dot_general(
+                a_ref[0], band[i % 2],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+        elif mode in ("abf16", "afp8"):
+            # A stored in a directly-MXU-consumable dtype: no convert at
+            # all (2x A DMA for bf16, 1x for fp8)
+            out_ref[0] = jnp.dot(
+                a_ref[0].astype(jnp.bfloat16) if mode == "afp8"
+                else a_ref[0],
+                band[i % 2],
+                preferred_element_type=jnp.float32).astype(jnp.bfloat16)
         else:
             out_ref[0] = jnp.dot(
                 a_ref[0].astype(jnp.bfloat16), band[i % 2],
@@ -108,6 +123,11 @@ def main() -> int:
 
     def timed(mode):
         call = make_call(mode)
+        a_m = a
+        if mode == "abf16":
+            a_m = a.astype(jnp.bfloat16)
+        elif mode == "afp8":
+            a_m = a.astype(jnp.float8_e4m3fn)
 
         def make(k):
             @jax.jit
@@ -120,13 +140,13 @@ def main() -> int:
             return g
 
         g1, g2 = make(2), make(12)
-        float(g1(starts, a, xp)); float(g2(starts, a, xp))
+        float(g1(starts, a_m, xp)); float(g2(starts, a_m, xp))
 
         def best(g):
             b = float("inf")
             for _ in range(3):
                 t0 = time.perf_counter()
-                float(g(starts, a, xp))
+                float(g(starts, a_m, xp))
                 b = min(b, time.perf_counter() - t0)
             return b
 
