@@ -48,6 +48,14 @@ def make_train_step(
     ops.spmm.make_spmm).
     """
     arrays = getattr(spmm, "arrays", None)
+    # Padded activation layout: the whole network runs [M, dp] -> [M, dp]
+    # with zero pad/slice/merge passes per layer (ops.spmm.apply_padded);
+    # only the final logits are sliced before the softmax.
+    padded = bool(getattr(spmm, "supports_padded", False))
+
+    def _pad_w(w, dpin):
+        dpout = -(-w.shape[1] // 128) * 128
+        return jnp.pad(w, ((0, dpin - w.shape[0]), (0, dpout - w.shape[1])))
 
     class _Bound:
         """spmm closure carrying the threaded arrays + fused layer forms."""
@@ -56,12 +64,24 @@ def make_train_step(
             self._arrs = arrs
 
         def __call__(self, x):
+            if padded:
+                return spmm.apply_padded(self._arrs, x)
             return spmm.apply(self._arrs, x)
 
         def gcn_fused(self, x, w):
+            if padded:
+                xw = jnp.dot(x, _pad_w(w, x.shape[1]).astype(x.dtype),
+                             preferred_element_type=jnp.float32
+                             ).astype(x.dtype)
+                return spmm.apply_padded(self._arrs, xw)
             return spmm.gcn_apply(self._arrs, x, w)
 
         def gin_fused(self, x, w):
+            if padded:
+                agg = spmm.apply_padded(self._arrs, x)
+                return jnp.dot(agg, _pad_w(w, agg.shape[1]).astype(agg.dtype),
+                               preferred_element_type=jnp.float32
+                               ).astype(agg.dtype)
             return spmm.gin_apply(self._arrs, x, w)
 
     def make_bound(arrs):
@@ -69,9 +89,13 @@ def make_train_step(
             return spmm  # plain callable
         return _Bound(arrs)
 
+    out_slice = (
+        (spmm.plan.num_nodes, net.num_classes) if padded else None
+    )
+
     def loss_fn(params, arrs, x, y, rng):
         logp = net_forward(net, params, make_bound(arrs), x,
-                           dropout_rng=rng, train=True)
+                           dropout_rng=rng, train=True, out_slice=out_slice)
         return nll_loss(logp, y)
 
     @jax.jit
@@ -104,6 +128,9 @@ def train(
     """Runs warm-up + timed epochs; returns params and timing stats.
     ``init_params`` resumes from a checkpoint instead of fresh init."""
     x = jnp.asarray(x)
+    if getattr(spmm, "supports_padded", False):
+        x = spmm.pad_input(x)  # one-time layout conversion (train/loop
+        # then runs every layer in the closed padded layout)
     y = jnp.asarray(y)
     rng = jax.random.PRNGKey(seed)
     rng, init_rng = jax.random.split(rng)

@@ -189,3 +189,30 @@ def test_fused_layer_ops_match_composed():
             for a_, b_ in zip(gf, gc):
                 np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
                                            rtol=2e-3, atol=2e-3)
+
+
+def test_padded_training_matches_unpadded():
+    """Whole-network padded layout (train/loop): same losses as the
+    row layout (dropout=0 so randomness shapes don't diverge)."""
+    from hcspmm_tpu.graphs import io
+    from hcspmm_tpu.format import reorder as _ro
+
+    src, dst, nn = io.synthetic_blocks(256, 4, 32, seed=3)
+    rp, ci = io.to_csr(src, dst, nn)
+    perm = _ro.rcm_reorder(rp, ci, nn)
+    rp, ci = _ro.apply_permutation(rp, ci, nn, perm)
+    cfg = PlanConfig(impl="pallas", band_mode="always", band_h=32,
+                     band_widths=(128,))
+    op_p = HybridSpMM(rp, ci, nn, cfg)
+    assert op_p.supports_padded
+    op_u = HybridSpMM(rp, ci, nn, PlanConfig(impl="pallas",
+                                             band_mode="never"))
+    x = np.random.RandomState(0).randn(nn, 12).astype(np.float32)
+    y = np.ones(nn, dtype=np.int32)
+    for model in ("gcn", "gin"):
+        net = Net(model=model, num_features=12, hidden=8, num_classes=5,
+                  num_layers=3, dropout=0.0)
+        res_p = train(net, op_p, x, y, epochs=4, warmup_epochs=0, seed=1)
+        res_u = train(net, op_u, x, y, epochs=4, warmup_epochs=0, seed=1)
+        np.testing.assert_allclose(res_p["final_loss"], res_u["final_loss"],
+                                   rtol=1e-3, atol=1e-4)

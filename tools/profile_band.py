@@ -105,7 +105,68 @@ def main() -> int:
                 a_ref[0].astype(jnp.bfloat16), band[i % 2],
                 preferred_element_type=jnp.float32).astype(jnp.bfloat16)
 
+    L = 3  # lookahead depth for the 'deep' variant
+
+    def deep_kernel(starts_ref, a_hbm, x_hbm, out_ref, aband, band,
+                    asems, sems):
+        # manual L-deep prefetch of BOTH A blocks and X bands: the auto
+        # double-buffered A pipeline leaves per-step DMA-latency stalls
+        i = pl.program_id(0)
+        s = pl.num_programs(0)
+
+        def a_dma(j, slot):
+            return pltpu.make_async_copy(a_hbm.at[j], aband.at[slot],
+                                         asems.at[slot])
+
+        def x_dma(j, slot):
+            st = pl.multiple_of(starts_ref[j], 16)
+            return pltpu.make_async_copy(x_hbm.at[pl.ds(st, bb), :],
+                                         band.at[slot], sems.at[slot])
+
+        @pl.when(i == 0)
+        def _():
+            for j in range(1, L):
+                @pl.when(j < s)
+                def _():
+                    a_dma(j, j % L).start()
+                    x_dma(j, j % L).start()
+
+        @pl.when(i + L < s)
+        def _():
+            a_dma(i + L, (i + L) % L).start()
+            x_dma(i + L, (i + L) % L).start()
+
+        @pl.when(i == 0)
+        def _():
+            a_dma(0, 0).start()
+            x_dma(0, 0).start()
+
+        a_dma(i, i % L).wait()
+        x_dma(i, i % L).wait()
+        out_ref[0] = jnp.dot(
+            aband[i % L].astype(jnp.bfloat16), band[i % L],
+            preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+
     def make_call(mode):
+        if mode == "deep":
+            gs = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1, grid=(sb,),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                          pl.BlockSpec(memory_space=pltpu.ANY)],
+                out_specs=pl.BlockSpec((1, bh, args.dim),
+                                       lambda i, s_: (i, 0, 0),
+                                       memory_space=pltpu.VMEM),
+                scratch_shapes=[
+                    pltpu.VMEM((L, bh, bb), jnp.int8),
+                    pltpu.VMEM((L, bb, args.dim), jnp.bfloat16),
+                    pltpu.SemaphoreType.DMA((L,)),
+                    pltpu.SemaphoreType.DMA((L,)),
+                ])
+            return lambda st, a_, x_: pl.pallas_call(
+                deep_kernel, grid_spec=gs,
+                out_shape=jax.ShapeDtypeStruct((sb, bh, args.dim),
+                                               jnp.bfloat16),
+            )(st, a_, x_)
         gs = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=(sb,),
             in_specs=[pl.BlockSpec((1, bh, bb), lambda i, s_: (i, 0, 0),
