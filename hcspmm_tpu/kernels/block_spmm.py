@@ -199,41 +199,89 @@ def ell_bucket_spmm(cols, xp, *, rows_per_step: int = 0, lookahead: int = 16):
 # ---------------------------------------------------------------------------
 
 
-def _band_kernel(starts_ref, a_ref, x_hbm, out_ref, band, sems, *,
-                 bb, precision):
+# Lookahead depth of the manual band pipeline.  The auto double-buffered
+# A-block pipeline leaves a per-grid-step DMA-latency stall (~500 ns/super
+# measured at DD scale); hand-rolling BOTH the A-block and X-band copies
+# with a 3-deep prefetch removed it (tools/profile_band 'deep' vs 'full':
+# 563-638 us vs 916-1002 us interleaved in one process).
+_BAND_LOOKAHEAD = 4  # slots; effective lookahead is one less
+
+
+def _band_body_deep(starts_ref, a_hbm, x_hbm, aband, band, asems, xsems,
+                    *, bb, precision):
+    """Shared deep-pipelined band step.  Prefetches A block j and X band
+    j (``xp[starts[j] : starts[j]+bb]``) ``L-1`` steps ahead over ``L``
+    slots, then returns ``A_i @ band_i`` (fp32).
+
+    Slot safety: grid steps run sequentially on the core, so the only
+    hazard is *within* a step — starting a copy into the slot this step
+    reads.  With lookahead L-1 the started slot is (i+L-1)%L != i%L, and
+    the slot being overwritten was last read at step i-1, which has
+    already completed."""
+    L = aband.shape[0]
+    la = L - 1
     i = pl.program_id(0)
     s = pl.num_programs(0)
 
-    def get_dma(j, slot):
+    def a_dma(j, slot):
+        return pltpu.make_async_copy(a_hbm.at[j], aband.at[slot],
+                                     asems.at[slot])
+
+    def x_dma(j, slot):
         # plan-side band starts are 16-aligned; the hint lets Mosaic prove
         # sublane-tile divisibility of the dynamic HBM slice
         start = pl.multiple_of(starts_ref[j], 16)
         return pltpu.make_async_copy(
             x_hbm.at[pl.ds(start, bb), :],
             band.at[slot],
-            sems.at[slot],
+            xsems.at[slot],
         )
 
     @pl.when(i == 0)
     def _():
-        get_dma(0, 0).start()
+        a_dma(0, 0).start()
+        x_dma(0, 0).start()
+        for j in range(1, la):
+            @pl.when(j < s)
+            def _():
+                a_dma(j, j).start()
+                x_dma(j, j).start()
 
-    @pl.when(i + 1 < s)
+    @pl.when(i + la < s)
     def _():
-        get_dma(i + 1, (i + 1) % 2).start()
+        a_dma(i + la, (i + la) % L).start()
+        x_dma(i + la, (i + la) % L).start()
 
-    get_dma(i, i % 2).wait()
-    out_ref[0] = jnp.dot(
-        a_ref[0].astype(band.dtype),
-        band[i % 2],
+    a_dma(i, i % L).wait()
+    x_dma(i, i % L).wait()
+    return jnp.dot(
+        aband[i % L].astype(band.dtype),
+        band[i % L],
         preferred_element_type=jnp.float32,
         precision=precision,
     )
 
 
+def _band_scratch(a, xp, d):
+    L = _BAND_LOOKAHEAD
+    _, bh, bb = a.shape
+    return [
+        pltpu.VMEM((L, bh, bb), a.dtype),
+        pltpu.VMEM((L, bb, d), xp.dtype),
+        pltpu.SemaphoreType.DMA((L,)),
+        pltpu.SemaphoreType.DMA((L,)),
+    ]
+
+
+def _band_kernel(starts_ref, a_hbm, x_hbm, out_ref, aband, band,
+                 asems, xsems, *, bb, precision):
+    out_ref[0] = _band_body_deep(starts_ref, a_hbm, x_hbm, aband, band,
+                                 asems, xsems, bb=bb, precision=precision)
+
+
 def band_bucket_spmm(starts, a, xp):
     """``out[s] = a[s] @ xp[starts[s] : starts[s]+Bb]`` for one band-width
-    bucket: ONE contiguous double-buffered DMA per superwindow instead of
+    bucket: ONE contiguous deep-pipelined DMA per superwindow instead of
     per-row gathers — the explicit-VMEM analog of the reference GPU's L2
     locality on reordered graphs.
 
@@ -251,16 +299,12 @@ def band_bucket_spmm(starts, a, xp):
         num_scalar_prefetch=1,
         grid=(sb,),
         in_specs=[
-            pl.BlockSpec((1, bh, bb), lambda i, s_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec((1, bh, d), lambda i, s_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((2, bb, d), xp.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=_band_scratch(a, xp, d),
     )
     return pl.pallas_call(
         functools.partial(_band_kernel, bb=bb, precision=precision),
@@ -270,41 +314,19 @@ def band_bucket_spmm(starts, a, xp):
     )(starts, a, xp)
 
 
-def _band_kernel_into(starts_ref, sw_ref, a_ref, x_hbm, buf_ref, out_ref,
-                      band, sems, *, bb, precision):
+def _band_kernel_into(starts_ref, sw_ref, a_hbm, x_hbm, buf_ref, out_ref,
+                      aband, band, asems, xsems, *, bb, precision):
     del buf_ref  # aliased to out_ref; untouched blocks pass through
-    i = pl.program_id(0)
-    s = pl.num_programs(0)
-
-    def get_dma(j, slot):
-        start = pl.multiple_of(starts_ref[j], 16)
-        return pltpu.make_async_copy(
-            x_hbm.at[pl.ds(start, bb), :],
-            band.at[slot],
-            sems.at[slot],
-        )
-
-    @pl.when(i == 0)
-    def _():
-        get_dma(0, 0).start()
-
-    @pl.when(i + 1 < s)
-    def _():
-        get_dma(i + 1, (i + 1) % 2).start()
-
-    get_dma(i, i % 2).wait()
-    out_ref[0] = jnp.dot(
-        a_ref[0].astype(band.dtype),
-        band[i % 2],
-        preferred_element_type=jnp.float32,
-        precision=precision,
+    out_ref[0] = _band_body_deep(
+        starts_ref, a_hbm, x_hbm, aband, band, asems, xsems,
+        bb=bb, precision=precision,
     ).astype(out_ref.dtype)
 
 
-def _band_kernel_direct(starts_ref, sw_ref, a_ref, x_hbm, out_ref,
-                        band, sems, *, bb, precision):
-    _band_kernel_into(starts_ref, sw_ref, a_ref, x_hbm, None, out_ref,
-                      band, sems, bb=bb, precision=precision)
+def _band_kernel_direct(starts_ref, sw_ref, a_hbm, x_hbm, out_ref,
+                        aband, band, asems, xsems, *, bb, precision):
+    _band_kernel_into(starts_ref, sw_ref, a_hbm, x_hbm, None, out_ref,
+                      aband, band, asems, xsems, bb=bb, precision=precision)
 
 
 def _band_kernel_grouped(starts_ref, a_ref, x_hbm, out_ref, band, sems, *,
@@ -408,16 +430,12 @@ def band_bucket_spmm_direct(sw_ids, starts, a, xp, num_sw, out_dtype):
         num_scalar_prefetch=2,
         grid=(sb,),
         in_specs=[
-            pl.BlockSpec((1, bh, bb), lambda i, s_, w_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec((1, bh, d), lambda i, s_, w_: (w_[i], 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((2, bb, d), xp.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=_band_scratch(a, xp, d),
     )
     out = pl.pallas_call(
         functools.partial(_band_kernel_direct, bb=bb, precision=precision),
@@ -429,31 +447,11 @@ def band_bucket_spmm_direct(sw_ids, starts, a, xp, num_sw, out_dtype):
     return out[:num_sw] if trash else out
 
 
-def _band_kernel_fused(starts_ref, sw_ref, a_ref, x_hbm, w_ref,
-                       agg_ref, out_ref, band, sems, *, bb, precision):
-    i = pl.program_id(0)
-    s = pl.num_programs(0)
-
-    def get_dma(j, slot):
-        start = pl.multiple_of(starts_ref[j], 16)
-        return pltpu.make_async_copy(
-            x_hbm.at[pl.ds(start, bb), :], band.at[slot], sems.at[slot])
-
-    @pl.when(i == 0)
-    def _():
-        get_dma(0, 0).start()
-
-    @pl.when(i + 1 < s)
-    def _():
-        get_dma(i + 1, (i + 1) % 2).start()
-
-    get_dma(i, i % 2).wait()
-    agg = jnp.dot(
-        a_ref[0].astype(band.dtype),
-        band[i % 2],
-        preferred_element_type=jnp.float32,
-        precision=precision,
-    )
+def _band_kernel_fused(starts_ref, sw_ref, a_hbm, x_hbm, w_ref,
+                       agg_ref, out_ref, aband, band, asems, xsems, *,
+                       bb, precision):
+    agg = _band_body_deep(starts_ref, a_hbm, x_hbm, aband, band,
+                          asems, xsems, bb=bb, precision=precision)
     agg_ref[0] = agg.astype(agg_ref.dtype)
     out_ref[0] = jnp.dot(
         agg.astype(w_ref.dtype),
@@ -484,8 +482,7 @@ def band_fused_spmm_direct(sw_ids, starts, a, xp, w, num_sw, out_dtype):
         num_scalar_prefetch=2,
         grid=(sb,),
         in_specs=[
-            pl.BlockSpec((1, bh, bb), lambda i, s_, w_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),   # W resident
         ],
@@ -495,10 +492,7 @@ def band_fused_spmm_direct(sw_ids, starts, a, xp, w, num_sw, out_dtype):
             pl.BlockSpec((1, bh, h), lambda i, s_, w_: (w_[i], 0, 0),
                          memory_space=pltpu.VMEM),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((2, bb, d), xp.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=_band_scratch(a, xp, d),
     )
     # trailing trash block absorbs capacity-padded dummy supers (only
     # allocated when padding is present; callers slice to num_sw blocks)
@@ -533,18 +527,14 @@ def band_bucket_spmm_into(buf, sw_ids, starts, a, xp):
         num_scalar_prefetch=2,  # starts, sw_ids
         grid=(sb,),
         in_specs=[
-            pl.BlockSpec((1, bh, bb), lambda i, s_, w_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
             # aliased output buffer: never read, never pipelined in
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec((1, bh, d), lambda i, s_, w_: (w_[i], 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((2, bb, d), xp.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=_band_scratch(a, xp, d),
     )
     return pl.pallas_call(
         functools.partial(_band_kernel_into, bb=bb, precision=precision),

@@ -123,18 +123,21 @@ def main() -> int:
             return pltpu.make_async_copy(x_hbm.at[pl.ds(st, bb), :],
                                          band.at[slot], sems.at[slot])
 
+        # lookahead L-1 over L slots: starting into slot (i+L)%L == i%L
+        # would race this step's own read (caught by the oracle tests;
+        # kernels/block_spmm._band_body_deep is the fixed production form)
         @pl.when(i == 0)
         def _():
-            for j in range(1, L):
+            for j in range(1, L - 1):
                 @pl.when(j < s)
                 def _():
                     a_dma(j, j % L).start()
                     x_dma(j, j % L).start()
 
-        @pl.when(i + L < s)
+        @pl.when(i + L - 1 < s)
         def _():
-            a_dma(i + L, (i + L) % L).start()
-            x_dma(i + L, (i + L) % L).start()
+            a_dma(i + L - 1, (i + L - 1) % L).start()
+            x_dma(i + L - 1, (i + L - 1) % L).start()
 
         @pl.when(i == 0)
         def _():
