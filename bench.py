@@ -54,11 +54,11 @@ def main() -> int:
     band = os.environ.get("HCSPMM_BENCH_BAND", "auto")
     block = int(os.environ.get("HCSPMM_BENCH_BLOCK", 300))
     k = int(os.environ.get("HCSPMM_BENCH_K", 20))
-    # single band bucket triggers the no-alias direct-write kernel: one
-    # pallas call produces the whole output (multi-bucket aliasing chains
-    # measured ~2x slower at DD scale)
-    band_h = int(os.environ.get("HCSPMM_BENCH_BAND_H", 512))
-    band_widths = os.environ.get("HCSPMM_BENCH_BAND_WIDTHS", "1024")
+    # Default band config: bh=256 + auto width (the plan resolves a single
+    # bucket from the extent distribution -> one no-alias direct-write
+    # kernel; measured best at DD scale: 548 us vs 729 at bh=512/W=1024)
+    band_h = int(os.environ.get("HCSPMM_BENCH_BAND_H", 256))
+    band_widths = os.environ.get("HCSPMM_BENCH_BAND_WIDTHS", "")  # "" = auto
 
     import jax
 

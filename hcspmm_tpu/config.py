@@ -90,7 +90,12 @@ class PlanConfig:
     # per-row gather at all; cost is nnz-independent (H*Bb int8 A stream
     # + one band fetch).  Empty tuple disables the path.
     band_h: int = 256
-    band_widths: Sequence[int] = (256, 512, 1024, 2048)
+    # 'auto' resolves the width bucket(s) from the measured per-superwindow
+    # extent distribution at plan build (round128(max extent) single bucket
+    # when tight — keeps the one-call direct-write fast path; p95+max
+    # buckets on long tails).  An explicit tuple pins the ladder (required
+    # for shard-uniform distributed plans).
+    band_widths: "Sequence[int] | str" = "auto"
     # 'auto' uses the cost model below; 'always' takes every superwindow
     # whose extent fits a bucket; 'never' disables the banded path.
     band_mode: str = "auto"

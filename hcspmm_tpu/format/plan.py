@@ -266,7 +266,15 @@ def build_plan(
     # streams as one contiguous block (see module docstring).  Selected
     # superwindows own all their windows/rows; the remaining populations
     # are carved from what is left.
-    band_widths = tuple(config.band_widths) if config.band_mode != "never" else ()
+    auto_width = (
+        config.band_mode != "never" and isinstance(config.band_widths, str)
+    )
+    if config.band_mode == "never":
+        band_widths = ()
+    elif auto_width:
+        band_widths = (256,)  # placeholder; resolved from extents below
+    else:
+        band_widths = tuple(config.band_widths)
     bh = config.band_h
     if band_widths and bh % wh != 0:
         raise ValueError("band_h must be a multiple of window_h")
@@ -298,6 +306,27 @@ def build_plan(
             max_col[ne] = np.maximum.reduceat(column_index, e_start[ne])
         start = (min_col // 16) * 16  # sublane-aligned band start
         extent = max_col - start + 1
+        if auto_width:
+            # Resolve band width from the measured extent distribution:
+            # a single bucket at round128(max extent) keeps the one-call
+            # direct-write fast path whenever the distribution is tight;
+            # a long tail gets a p95 bucket + max bucket instead of
+            # padding every superwindow to the outlier width.
+            if caps.band_supers:
+                raise ValueError(
+                    "band_widths='auto' cannot satisfy PlanCaps "
+                    "(shard-uniform plans need explicit widths)")
+            ne_ext = extent[nonempty]
+            if len(ne_ext):
+                r128 = lambda v: max(128, -(-int(v) // 128) * 128)
+                w_max = r128(ne_ext.max())
+                w_p95 = r128(np.percentile(ne_ext, 95))
+                if w_max <= max(1.3 * w_p95, 512):
+                    band_widths = (w_max,)
+                else:
+                    band_widths = tuple(sorted({w_p95, w_max}))
+            caps_s = (0,) * len(band_widths)
+            xp_rows = max(xp_rows, int(band_widths[-1]))
         bucket_sw = np.searchsorted(np.asarray(band_widths), extent)
         fits = nonempty & (bucket_sw < len(band_widths))
 

@@ -92,6 +92,11 @@ def build_sharded_plan(
     # index-gather halo breaks contiguity, so 'halo' plans carve bands out.
     if mode == "halo":
         config = dataclasses.replace(config, band_mode="never")
+    if isinstance(config.band_widths, str):
+        # auto widths would resolve differently per shard and break the
+        # uniform stacking caps; pin the ladder for sharded plans
+        config = dataclasses.replace(config,
+                                     band_widths=(256, 512, 1024, 2048))
     wh = config.window_h
     chunk = wh * num_shards
     n_padded = ((num_nodes + chunk - 1) // chunk) * chunk
