@@ -59,6 +59,7 @@ def main() -> int:
     # kernel; measured best at DD scale: 548 us vs 729 at bh=512/W=1024)
     band_h = int(os.environ.get("HCSPMM_BENCH_BAND_H", 256))
     band_widths = os.environ.get("HCSPMM_BENCH_BAND_WIDTHS", "")  # "" = auto
+    band_impl = os.environ.get("HCSPMM_BENCH_BAND_IMPL", "wide")
 
     import jax
 
@@ -101,7 +102,7 @@ def main() -> int:
     if band_widths:
         extra["band_widths"] = tuple(int(v) for v in band_widths.split(","))
     cfg = PlanConfig(loi_mode=mode, compute_dtype=dtype, impl=impl,
-                     band_mode=band, **extra)
+                     band_mode=band, band_impl=band_impl, **extra)
     op = HybridSpMM(rp, ci, nn, cfg)
     prep_s = time.perf_counter() - t0
 
@@ -142,12 +143,19 @@ def main() -> int:
     # roofline: bytes each population must move (A blocks + X + output)
     xbytes = 2 if dtype == "bfloat16" else 4
     dp = ((dim + 127) // 128) * 128
-    band_bytes = sum(
-        len(plan.band_sw_ids[s])
-        * (plan.band_h * plan.band_widths[s]          # A int8
-           + plan.band_widths[s] * dp * xbytes)       # X band
-        for s in range(len(plan.band_widths))
-    )
+    if getattr(plan, "tiled", False):
+        band_bytes = (
+            len(plan.pair_tile) * plan.band_h * plan.tile_w     # A int8
+            + int(plan.pair_fetch.sum()) * plan.tile_w * dp * xbytes  # X
+        )
+    else:
+        band_bytes = sum(
+            len(plan.band_sw_ids[s])
+            * (plan.band_h * plan.band_widths[s])         # A int8
+            + len(plan.band_sw_ids[s])
+            * (plan.band_widths[s] * dp * xbytes)         # X band
+            for s in range(len(plan.band_widths))
+        )
     total_bytes = band_bytes + nn * dp * xbytes       # + output
     hbm_gbps = 970.0  # measured effective on this chip (tools/profile_band)
     roofline_us = total_bytes / hbm_gbps / 1e3
@@ -164,6 +172,7 @@ def main() -> int:
                 "dtype": dtype,
                 "mode": mode,
                 "layout": layout,
+                "band_impl": band_impl,
                 "impl": impl,
                 "graph": graph,
                 "reorder": reorder_mode,

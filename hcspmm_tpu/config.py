@@ -99,6 +99,15 @@ class PlanConfig:
     # 'auto' uses the cost model below; 'always' takes every superwindow
     # whose extent fits a bucket; 'never' disables the banded path.
     band_mode: str = "auto"
+    # Band kernel flavor: 'wide' = one fixed-width A block + one X band
+    # DMA per superwindow; 'tiled' = per-superwindow variable tile count
+    # over canonical 128-row X tiles with a ring cache (each X tile is
+    # fetched ONCE per sweep instead of once per overlapping band, and A
+    # skips tiles outside the superwindow's extent).  'tiled' requires
+    # band_h % 128 == 0 and square plans; others fall back to 'wide'.
+    band_impl: str = "wide"
+    # X-tile ring slots for band_impl='tiled' (VMEM: slots * 128 * dp * 2B)
+    band_tile_slots: int = 16
     # Device dtype of the binary band blocks: 'int8' or 'int4'.  A-bytes
     # (N x band width) dominate band-path HBM traffic on low-degree
     # graphs; int4 halves them (values are {0,1}, so 4 bits are plenty).

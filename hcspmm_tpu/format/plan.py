@@ -137,6 +137,32 @@ class ExecutionPlan:
     #   direct-write kernels produce the output in place, no merge pass
     xp_rows: int = 0            # SpMM impls pad X to >= this many rows
 
+    # ---- tiled band (band_impl='tiled'): flat (super, X-tile) pairs ----
+    # Canonical 128-row X tiles + a ring cache: each tile is DMA'd once
+    # per sweep (the wide kernel re-fetches the ~50-75% band overlap of
+    # consecutive superwindows) and A skips tiles outside each
+    # superwindow's extent (variable width, no bucket padding).
+    tiled: bool = False
+    tile_w: int = 128
+    tile_slots: int = 16
+    pair_ptr: Optional[np.ndarray] = None    # int64 [num_sw+1]
+    pair_tile: Optional[np.ndarray] = None   # int32 [P] canonical tile id
+    pair_super: Optional[np.ndarray] = None  # int32 [P] owning superwindow
+    pair_fetch: Optional[np.ndarray] = None  # int32 [P] 1 = DMA tile here
+    pair_late: Optional[np.ndarray] = None   # int32 [P] 1 = can't prefetch
+    pair_first: Optional[np.ndarray] = None  # int32 [P] first pair of super
+    pair_last: Optional[np.ndarray] = None   # int32 [P] last pair of super
+    tile_edges: Optional[np.ndarray] = None  # int32 [E, 3] (pair, row, col)
+
+    def tiled_a_dense(self) -> np.ndarray:
+        """Dense int8 A tiles [P, band_h, tile_w] for the tiled kernel."""
+        p = len(self.pair_tile)
+        a = np.zeros((p, self.band_h, self.tile_w), dtype=np.int8)
+        e = self.tile_edges
+        if len(e):
+            a[e[:, 0], e[:, 1], e[:, 2]] = 1
+        return a
+
     # ---- stats (host-only; for roofline/logging) ----
     nnz: int = 0
     dense_nnz: int = 0
@@ -216,9 +242,29 @@ class ExecutionPlan:
             d[f"b{b}_a"] = self.bucket_a[b]
         for e in range(len(self.ell_widths)):
             d[f"e{e}_cols"] = self.ell_cols[e]
+        if self.tiled:
+            # scalar arrays padded by the kernel's lookahead depth so
+            # prefetch reads past the last pair stay in bounds (padded
+            # entries: repeat-last tile/super, zero flags -> no-ops)
+            pad = 8
+
+            def _lap(a, repeat_last: bool):
+                fill = a[-1] if repeat_last and len(a) else 0
+                return np.concatenate(
+                    [a, np.full(pad, fill, dtype=a.dtype)]
+                )
+
+            d["tp_tile"] = _lap(self.pair_tile, True)
+            d["tp_super"] = _lap(self.pair_super, True)
+            d["tp_fetch"] = _lap(self.pair_fetch, False)
+            d["tp_late"] = _lap(self.pair_late, False)
+            d["tp_first"] = _lap(self.pair_first, False)
+            d["tp_last"] = _lap(self.pair_last, False)
+            if dense_band:
+                d["tp_a"] = self.tiled_a_dense()
         for s in range(len(self.band_widths)):
             d[f"band{s}_start"] = self.band_starts[s]
-            if dense_band:
+            if dense_band and not self.tiled:
                 d[f"band{s}_a"] = self.band_a_dense(s)
             # pad to capacity for uniform shard stacking / grouped grid
             # steps; padded entries point at the direct-write buffer's
@@ -229,6 +275,83 @@ class ExecutionPlan:
                 self.band_starts[s].shape[0], num_sw,
             )
         return d
+
+
+def _build_tiled_pairs(num_sw, bh, min_col, max_col, nonempty,
+                       column_index, wa, sw_of_edge, slots):
+    """Flat (superwindow, canonical-128-row-X-tile) pair stream + the
+    statically simulated ring-cache fetch schedule for the tiled band
+    kernel (kernels.block_spmm.band_tiled_spmm).
+
+    Schedule invariants (the kernel prefetches pair q's tile LA_X steps
+    early): a prefetch may not overwrite a slot read by any pair in
+    [q-LA_X, q) — such fetches are marked ``late`` and issued at q
+    itself.  Every fetched tile is waited exactly once (at its fetch
+    pair); non-fetch pairs read resident slots."""
+    TW = 128
+    LA_X = 2
+    t0 = np.where(nonempty, min_col // TW, 0).astype(np.int64)
+    t1 = np.where(nonempty, max_col // TW + 1, 0).astype(np.int64)
+    cnt = np.maximum(t1 - t0, 0)
+    # every superwindow owns >= 1 pair so its output block is written;
+    # empty ones get a dummy zero-A pair reusing the previous tile
+    cnt_eff = np.maximum(cnt, 1)
+    pair_ptr = np.zeros(num_sw + 1, dtype=np.int64)
+    np.cumsum(cnt_eff, out=pair_ptr[1:])
+    p_total = int(pair_ptr[-1])
+    pair_tile = np.zeros(p_total, dtype=np.int64)
+    pair_super = np.repeat(np.arange(num_sw, dtype=np.int64), cnt_eff)
+    real = cnt > 0
+    rs = np.where(real)[0]
+    if len(rs):
+        pos = np.repeat(pair_ptr[:-1][rs], cnt[rs]) + _ragged_arange(cnt[rs])
+        val = np.repeat(t0[rs], cnt[rs]) + _ragged_arange(cnt[rs])
+        pair_tile[pos] = val
+    for p in pair_ptr[:-1][~real]:  # dummies, ascending order
+        pair_tile[p] = pair_tile[p - 1] if p > 0 else 0
+    pair_first = np.zeros(p_total, dtype=np.int32)
+    pair_last = np.zeros(p_total, dtype=np.int32)
+    pair_first[pair_ptr[:-1]] = 1
+    pair_last[pair_ptr[1:] - 1] = 1
+    # ring-cache simulation
+    slot_of = pair_tile % slots
+    resident = np.full(slots, -1, dtype=np.int64)
+    fetch = np.zeros(p_total, dtype=np.int32)
+    for p in range(p_total):
+        if resident[slot_of[p]] != pair_tile[p]:
+            fetch[p] = 1
+            resident[slot_of[p]] = pair_tile[p]
+    late = np.zeros(p_total, dtype=np.int32)
+    for q in np.where(fetch)[0]:
+        for r in range(max(q - LA_X, 0), q):
+            if slot_of[r] == slot_of[q] and pair_tile[r] != pair_tile[q]:
+                late[q] = 1
+                break
+    # compact A: (pair, row-in-super, tile-local col) per edge
+    e_sw = sw_of_edge
+    e_tile = column_index // TW
+    pair_of_e = pair_ptr[e_sw] + (e_tile - t0[e_sw])
+    tile_edges = np.stack(
+        [
+            pair_of_e,
+            wa.edge_to_row.astype(np.int64) % bh,
+            column_index % TW,
+        ],
+        axis=1,
+    ).astype(np.int32)
+    return dict(
+        tiled=True,
+        tile_w=TW,
+        tile_slots=slots,
+        pair_ptr=pair_ptr,
+        pair_tile=pair_tile.astype(np.int32),
+        pair_super=pair_super.astype(np.int32),
+        pair_fetch=fetch,
+        pair_late=late,
+        pair_first=pair_first,
+        pair_last=pair_last,
+        tile_edges=tile_edges,
+    )
 
 
 def build_plan(
@@ -436,6 +559,20 @@ def build_plan(
         w_of = (np.arange(wa.num_windows, dtype=np.int64) * wh) // bh
         band_window_mask = band_sel[w_of]
 
+    # -------------------- tiled band pair stream --------------------
+    tiled_fields = {}
+    if (
+        band_widths
+        and config.band_impl == "tiled"
+        and band_full_cover
+        and n == c
+        and bh % 128 == 0
+    ):
+        tiled_fields = _build_tiled_pairs(
+            num_sw, bh, min_col, max_col, nonempty, column_index,
+            wa, sw_of_edge, int(config.band_tile_slots),
+        )
+
     kmax = widths[-1]
     dense_mask_w = (
         (wa.hybrid_type == 1)
@@ -596,6 +733,7 @@ def build_plan(
         band_sw_ids=band_sw_ids,
         band_full_cover=band_full_cover if band_widths else False,
         xp_rows=xp_rows,
+        **tiled_fields,
         band_nnz=band_nnz,
         bucket_widths=widths,
         bucket_cols=bucket_cols,

@@ -447,6 +447,143 @@ def band_bucket_spmm_direct(sw_ids, starts, a, xp, num_sw, out_dtype):
     return out[:num_sw] if trash else out
 
 
+# ---------------------------------------------------------------------------
+# tiled band kernel: flat (superwindow, canonical X-tile) pair stream
+# ---------------------------------------------------------------------------
+
+_TILED_A_SLOTS = 8   # A-tile ring slots
+_TILED_LA_A = 4      # A lookahead (< _TILED_A_SLOTS)
+_TILED_LA_X = 2      # X lookahead — MUST match format.plan._build_tiled_pairs
+_TILED_PAD = 8       # plan pads the tp_* scalar arrays by this many entries
+#                      so lookahead reads never index out of bounds
+
+
+def _band_tiled_kernel(tile_ref, super_ref, fetch_ref, late_ref, first_ref,
+                       last_ref, a_hbm, x_hbm, out_ref, aring, xring, acc,
+                       asems, xsems, *, slots, precision):
+    """One grid step = one (superwindow, X-tile) pair.
+
+    - A tiles stream through an 8-slot ring with lookahead 4 (flat pair
+      order — the deep-pipeline pattern of _band_body_deep).
+    - X tiles are canonical 128-row slices cached in a ``slots``-ring:
+      fetched ONLY where the plan's simulated schedule says (first use
+      since eviction), prefetched _TILED_LA_X pairs early unless the plan
+      marked the fetch ``late`` (slot conflict with an in-window read).
+    - Partial products accumulate in an f32 VMEM scratch; the output
+      block is written once, at the superwindow's last pair (the out
+      index map revisits the same block for consecutive pairs).
+    """
+    p = pl.program_id(0)
+    n_p = pl.num_programs(0)
+
+    def a_dma(q, slot):
+        return pltpu.make_async_copy(a_hbm.at[q], aring.at[slot],
+                                     asems.at[slot])
+
+    def x_dma(q):
+        t = tile_ref[q]
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(pl.multiple_of(t * 128, 128), 128), :],
+            xring.at[t % slots],
+            xsems.at[t % slots],
+        )
+
+    @pl.when(p == 0)
+    def _():
+        for j in range(_TILED_LA_A):
+            @pl.when(j < n_p)
+            def _():
+                a_dma(j, j).start()
+        for j in range(_TILED_LA_X):
+            @pl.when((j < n_p) & (fetch_ref[j] == 1) & (late_ref[j] == 0))
+            def _():
+                x_dma(j).start()
+
+    @pl.when(p + _TILED_LA_A < n_p)
+    def _():
+        a_dma(p + _TILED_LA_A, (p + _TILED_LA_A) % _TILED_A_SLOTS).start()
+
+    q = p + _TILED_LA_X
+    @pl.when((q < n_p) & (fetch_ref[q] == 1) & (late_ref[q] == 0))
+    def _():
+        x_dma(q).start()
+
+    @pl.when((fetch_ref[p] == 1) & (late_ref[p] == 1))
+    def _():
+        x_dma(p).start()
+
+    a_dma(p, p % _TILED_A_SLOTS).wait()
+
+    @pl.when(fetch_ref[p] == 1)
+    def _():
+        x_dma(p).wait()
+
+    partial = jnp.dot(
+        aring[p % _TILED_A_SLOTS].astype(xring.dtype),
+        xring[tile_ref[p] % slots],
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+
+    @pl.when(first_ref[p] == 1)
+    def _():
+        acc[:] = partial
+
+    @pl.when(first_ref[p] == 0)
+    def _():
+        acc[:] += partial
+
+    @pl.when(last_ref[p] == 1)
+    def _():
+        out_ref[0] = acc[:].astype(out_ref.dtype)
+
+
+def band_tiled_spmm(arrs, xp, plan, out_dtype):
+    """Tiled band SpMM over the padded layout: xp [M, dp] -> [M // band_h,
+    band_h, dp].  vs the wide kernel: each X tile is fetched once per
+    sweep (no band-overlap re-fetch) and A carries only the tiles inside
+    each superwindow's extent (no bucket padding)."""
+    m, dp = xp.shape
+    bh = plan.band_h
+    num_sw = m // bh
+    a = arrs["tp_a"]
+    p_total = a.shape[0]
+    slots = plan.tile_slots
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if xp.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,  # tile, super, fetch, late, first, last
+        grid=(p_total,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, bh, dp),
+            lambda i, t_, s_, f_, l_, fi_, la_: (s_[i], 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((_TILED_A_SLOTS, bh, 128), a.dtype),
+            pltpu.VMEM((slots, 128, dp), xp.dtype),
+            pltpu.VMEM((bh, dp), jnp.float32),
+            pltpu.SemaphoreType.DMA((_TILED_A_SLOTS,)),
+            pltpu.SemaphoreType.DMA((slots,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_band_tiled_kernel, slots=slots,
+                          precision=precision),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_sw, bh, dp), out_dtype),
+        interpret=_interpret(),
+    )(arrs["tp_tile"], arrs["tp_super"], arrs["tp_fetch"],
+      arrs["tp_late"], arrs["tp_first"], arrs["tp_last"], a, xp)
+
+
 def _band_kernel_fused(starts_ref, sw_ref, a_hbm, x_hbm, w_ref,
                        agg_ref, out_ref, aband, band, asems, xsems, *,
                        bb, precision):
@@ -550,7 +687,9 @@ def spmm_fused_pallas(arrs, x, w, plan, compute_dtype):
     single band bucket; returns None otherwise (caller composes the
     unfused ops instead)."""
     n, d = x.shape
-    if not plan.band_full_cover:
+    if not plan.band_full_cover or getattr(plan, "tiled", False):
+        # tiled plans compose (tiled aggregate + XLA matmul under one
+        # jit); the wide fused kernel needs the band*_a arrays
         return None
     num_sw = _cdiv(n, plan.band_h)
     nonempty = [s for s in range(len(plan.band_widths))
@@ -588,6 +727,9 @@ def spmm_padded_supported(plan) -> bool:
     full-coverage single-band-bucket plan whose starts were clamped into
     the padded row space (format.plan builds them that way whenever
     M >= band width)."""
+    if getattr(plan, "tiled", False):
+        return True  # tiled pairs are canonical tiles inside [0, M) by
+        #              construction (build gate: full cover, square)
     if not plan.band_padded_ok:
         return False
     num_sw = plan.padded_rows // plan.band_h
@@ -608,6 +750,8 @@ def spmm_pallas_padded(arrs, xp, plan, compute_dtype):
     of the ~800 us kernel.  Caller gate: ``spmm_padded_supported(plan)``.
     """
     m, dp = xp.shape
+    if getattr(plan, "tiled", False):
+        return band_tiled_spmm(arrs, xp, plan, xp.dtype).reshape(m, dp)
     num_sw = m // plan.band_h
     s = [i for i in range(len(plan.band_widths))
          if arrs[f"band{i}_start"].shape[0] > 0][0]
@@ -621,6 +765,14 @@ def spmm_pallas_padded(arrs, xp, plan, compute_dtype):
 def spmm_pallas(arrs, x, plan, compute_dtype):
     """Drop-in for ops.spmm._spmm_xla with Pallas hot paths."""
     n, d = x.shape
+    if getattr(plan, "tiled", False):
+        # tiled plans carry only tp_* arrays; run the padded core with
+        # one-time glue (padded callers skip this entirely)
+        dp = _cdiv(d, 128) * 128
+        m = plan.padded_rows
+        xp = jnp.pad(x.astype(compute_dtype), ((0, m - n), (0, dp - d)))
+        out = spmm_pallas_padded(arrs, xp, plan, compute_dtype)
+        return out[:n, :d].astype(x.dtype)
     # Row-granular DMA needs the lane dimension aligned to the 128-wide
     # vector registers; pad features up (a 384-byte row read costs a full
     # 512-byte HBM transaction regardless, so the padding is ~free).

@@ -66,7 +66,15 @@ def chained_apply_time(fn: Callable, x: jnp.ndarray, k1: int = 2,
 
     # medians are robust to the tunnel's occasional multi-ms stalls
     # (min-of-N differencing can even go negative under contention)
-    return (median(samples(g2)) - median(samples(g1))) / (k2 - k1)
+    dur = (median(samples(g2)) - median(samples(g1))) / (k2 - k1)
+    if dur <= 0:
+        # tiny-workload regime: the differencing noise exceeds the work;
+        # lengthen the chain once so the signal dominates the ~35 ms RTT
+        k3 = k1 + (k2 - k1) * 16
+        g3 = make(k3)
+        float(g3(arrays, x))
+        dur = (median(samples(g3)) - median(samples(g1))) / (k3 - k1)
+    return max(dur, 1e-9)
 
 
 class SAG:

@@ -395,7 +395,9 @@ class HybridSpMM:
             out = {}
             for k, v in plan.device_arrays(dense_band=True).items():
                 a = jnp.asarray(v)
-                if config.a_dtype == "int4" and k.startswith("band") and k.endswith("_a"):
+                if config.a_dtype == "int4" and k.endswith("_a") and (
+                    k.startswith("band") or k.startswith("tp")
+                ):
                     a = a.astype(jnp.int4)
                 out[k] = a
             return out

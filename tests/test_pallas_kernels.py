@@ -192,3 +192,91 @@ def jnp_asarray(x):
     import jax.numpy as jnp
 
     return jnp.asarray(x)
+
+
+class TestTiledBand:
+    """band_impl='tiled': flat (super, X-tile) pairs + ring-cached X."""
+
+    def _op(self, n=512, deg=4, dim=24, slots=4, **cfg):
+        src, dst, nn = io.synthetic_blocks(n, deg, 48, seed=5)
+        rp, ci = io.to_csr(src, dst, nn)
+        from hcspmm_tpu.format import reorder as _ro
+        perm = _ro.rcm_reorder(rp, ci, nn)
+        rp, ci = _ro.apply_permutation(rp, ci, nn, perm)
+        base = dict(impl="pallas", band_mode="always", band_h=128,
+                    band_widths=(512,), band_impl="tiled",
+                    band_tile_slots=slots)
+        base.update(cfg)
+        op = HybridSpMM(rp, ci, nn, PlanConfig(**base))
+        x = np.random.RandomState(1).randn(nn, dim).astype(np.float32)
+        return op, rp, ci, nn, x
+
+    def _check(self, op, rp, ci, nn, x, tol=1e-5):
+        xp = op.pad_input(jnp_asarray(x))
+        out = jax.jit(lambda a, v: op.apply_padded(a, v))(op.arrays, xp)
+        z = np.asarray(op.unpad_output(out, x.shape[1]))
+        zref = spmm_reference_dense(rp, ci, nn, x)
+        scale = np.abs(zref).max() + 1e-9
+        assert np.abs(z - zref).max() / scale < tol
+        assert (np.asarray(out)[nn:] == 0).all()
+
+    @pytest.mark.parametrize("slots", [2, 4, 16])
+    def test_tiled_matches_oracle(self, slots):
+        # slots=2 forces evictions + late (conflict) fetches through the
+        # simulated schedule; 16 is the production default
+        op, rp, ci, nn, x = self._op(slots=slots)
+        assert op.plan.tiled
+        assert op.supports_padded
+        self._check(op, rp, ci, nn, x)
+
+    def test_tiled_unpadded_wrapper(self):
+        op, rp, ci, nn, x = self._op()
+        z = np.asarray(jax.jit(op)(x))
+        zref = spmm_reference_dense(rp, ci, nn, x)
+        scale = np.abs(zref).max() + 1e-9
+        assert np.abs(z - zref).max() / scale < 1e-5
+
+    def test_tiled_gradient(self):
+        import jax.numpy as jnp
+
+        op, rp, ci, nn, x = self._op()
+        op_u = HybridSpMM(rp, ci, nn, PlanConfig(impl="pallas",
+                                                 band_mode="never"))
+
+        def loss(o):
+            def f(arrays, x):
+                return jnp.sum(o.apply(arrays, x) ** 2)
+            return jax.jit(jax.grad(f, argnums=1))(o.arrays, jnp_asarray(x))
+
+        np.testing.assert_allclose(np.asarray(loss(op)),
+                                   np.asarray(loss(op_u)),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_tiled_fallback_unaligned_band_h(self):
+        # band_h not a multiple of 128 -> wide plan, still correct
+        op, rp, ci, nn, x = self._op(band_h=32, band_widths=(256,))
+        assert not op.plan.tiled
+        z = np.asarray(jax.jit(op)(x))
+        zref = spmm_reference_dense(rp, ci, nn, x)
+        scale = np.abs(zref).max() + 1e-9
+        assert np.abs(z - zref).max() / scale < 1e-5
+
+    def test_tiled_with_empty_supers(self):
+        # graph with an empty tail window range: dummy pairs must still
+        # write zero output blocks
+        rp = np.zeros(400 + 1, np.int32)
+        rp[1:200] = np.arange(1, 200)
+        rp[200:] = 199
+        ci = (np.arange(199) % 150).astype(np.int32)
+        op = HybridSpMM(rp, ci, 400, PlanConfig(
+            impl="pallas", band_mode="always", band_h=128,
+            band_widths=(256,), band_impl="tiled", band_tile_slots=4))
+        if not op.plan.tiled:
+            pytest.skip("plan not tiled on this shape")
+        x = np.random.RandomState(0).randn(400, 8).astype(np.float32)
+        xp = op.pad_input(jnp_asarray(x))
+        out = jax.jit(lambda a, v: op.apply_padded(a, v))(op.arrays, xp)
+        z = np.asarray(op.unpad_output(out, 8))
+        zref = spmm_reference_dense(rp, ci, 400, x)
+        scale = np.abs(zref).max() + 1e-9
+        assert np.abs(z - zref).max() / scale < 1e-5

@@ -99,6 +99,8 @@ def run_config(name, model, layers, hidden, dim, classes, nodes, degree,
     import numpy as np
 
     x = jnp.asarray(np.random.RandomState(0).randn(nn, dim).astype(np.float32))
+    if getattr(op, "supports_padded", False):
+        x = op.pad_input(x)  # closed padded layout, as train.loop does
     y = jnp.ones(nn, dtype=jnp.int32)
     dur = epoch_time(step, params, opt_state, x, y, rng)
     rec = {
