@@ -564,6 +564,7 @@ def build_plan(
     if (
         band_widths
         and config.band_impl == "tiled"
+        and config.impl == "pallas"  # the XLA fallback consumes band*_a
         and band_full_cover
         and n == c
         and bh % 128 == 0

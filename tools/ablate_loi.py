@@ -54,7 +54,11 @@ def main() -> int:
         np.random.RandomState(0).randn(nn, args.dim).astype(np.float32)
     ).astype(args.dtype)
 
-    base = LOICoefficients()
+    # lift the hard size cap to the widest MXU bucket so the logistic
+    # bias (the ablated threshold) is what decides routing — with the
+    # reference's max_cols=32 every window here exceeds the cap and the
+    # sweep is flat
+    base = dataclasses.replace(LOICoefficients(), max_cols=256)
     for bias in (float(b) for b in args.biases.split(",")):
         co = dataclasses.replace(base, bias=bias)
         cfg = PlanConfig(loi_mode="intended", loi=co, impl="pallas",

@@ -165,11 +165,13 @@ def main() -> int:
         def make(k):
             @jax.jit
             def g(sc_, a_, x_):
-                def body(c, _):
-                    o = call(sc_, a_, x_)
-                    return c + o[0, 0, 0].astype(jnp.float32) * 1e-30, 0.
-                c, _ = jax.lax.scan(body, 0.0, None, length=k)
-                return c
+                def body(xc, _):
+                    o = call(sc_, a_, xc)
+                    upd = xc[:8, :8] * (1 + o[0, 0, 0].astype(xc.dtype) * 1e-30)
+                    xc2 = jax.lax.dynamic_update_slice(xc, upd, (0, 0))
+                    return xc2, o[0, 0, 0]
+                xc, outs = jax.lax.scan(body, x_, None, length=k)
+                return outs[-1]
             return g
 
         g1, g2 = make(2), make(12)
