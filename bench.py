@@ -126,10 +126,10 @@ def main() -> int:
                 return op.apply_padded(a, v)
 
         x_t = op.pad_input(x)
-        dur = chained_timer(_Padded, x_t, k1=2, k2=2 + k, trials=4)
+        dur = chained_timer(_Padded, x_t, k1=2, k2=2 + k, trials=6)
     else:
         layout = "rows"
-        dur = chained_timer(op, x, k1=2, k2=2 + k, trials=4)
+        dur = chained_timer(op, x, k1=2, k2=2 + k, trials=6)
 
     gnnz = nnz / dur / 1e9
     baseline_gnnz = 13.87  # RTX 3090, DD, BASELINE.md Table XVI

@@ -314,19 +314,12 @@ def band_bucket_spmm(starts, a, xp):
     )(starts, a, xp)
 
 
-def _band_kernel_into(starts_ref, sw_ref, a_hbm, x_hbm, buf_ref, out_ref,
-                      aband, band, asems, xsems, *, bb, precision):
-    del buf_ref  # aliased to out_ref; untouched blocks pass through
+def _band_kernel_direct(starts_ref, sw_ref, a_hbm, x_hbm, out_ref,
+                        aband, band, asems, xsems, *, bb, precision):
     out_ref[0] = _band_body_deep(
         starts_ref, a_hbm, x_hbm, aband, band, asems, xsems,
         bb=bb, precision=precision,
     ).astype(out_ref.dtype)
-
-
-def _band_kernel_direct(starts_ref, sw_ref, a_hbm, x_hbm, out_ref,
-                        aband, band, asems, xsems, *, bb, precision):
-    _band_kernel_into(starts_ref, sw_ref, a_hbm, x_hbm, None, out_ref,
-                      aband, band, asems, xsems, bb=bb, precision=precision)
 
 
 def _band_kernel_grouped(starts_ref, a_ref, x_hbm, out_ref, band, sems, *,
@@ -408,18 +401,23 @@ def band_bucket_spmm_grouped(starts, a, xp, num_sw, out_dtype,
     return out[:num_sw]
 
 
-def band_bucket_spmm_direct(sw_ids, starts, a, xp, num_sw, out_dtype):
-    """Single-bucket full-coverage direct write: every output block is
-    written by exactly one grid step, so no init buffer or aliasing chain
-    is needed at all (the aliasing path copies the buffer per call).
+def band_bucket_spmm_direct(sw_ids, starts, a, xp, num_sw, out_dtype,
+                            trash=None):
+    """Direct write: superwindow ``sw_ids[i]``'s output block is written
+    by grid step i; blocks not owned by this bucket come out as
+    uninitialized garbage the caller must overwrite (single-bucket
+    full-coverage plans own every block).
 
     Accepts capacity-padded inputs: padded entries carry ``sw_id ==
-    num_sw`` and land in a trailing trash block, allocated only when
-    padding is actually present (the [:num_sw] slice of the padded case
-    costs a full-output copy pass, so the unpadded common case keeps the
-    exact shape)."""
+    num_sw`` and land in a trailing trash block.  ``trash=None`` infers
+    padding from capacity > num_sw (exact for full-coverage buckets);
+    partial buckets must pass it explicitly.  The trash block is only
+    allocated when needed — the [:num_sw] slice of the padded case costs
+    a full-output copy pass, so the unpadded case keeps the exact
+    shape."""
     sb, bh, bb = a.shape
-    trash = sb > num_sw
+    if trash is None:
+        trash = sb > num_sw
     _, d = xp.shape
     precision = (
         jax.lax.Precision.HIGHEST
@@ -645,43 +643,6 @@ def band_fused_spmm_direct(sw_ids, starts, a, xp, w, num_sw, out_dtype):
     )(starts, sw_ids, a, xp, w)
 
 
-def band_bucket_spmm_into(buf, sw_ids, starts, a, xp):
-    """Direct-write variant: superwindow ``sw_ids[i]``'s output lands at
-    ``buf[sw_ids[i]]`` (buf: [num_sw, bh, D], aliased in/out).  Chaining
-    one call per bucket assembles the full output with NO merge pass —
-    the reference needs none either (its thread blocks scatter straight
-    to global memory); this is the Pallas equivalent via a
-    scalar-prefetched output index_map + input/output aliasing.
-    """
-    sb, bh, bb = a.shape
-    _, d = xp.shape
-    precision = (
-        jax.lax.Precision.HIGHEST
-        if xp.dtype == jnp.float32
-        else jax.lax.Precision.DEFAULT
-    )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # starts, sw_ids
-        grid=(sb,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            # aliased output buffer: never read, never pipelined in
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
-        out_specs=pl.BlockSpec((1, bh, d), lambda i, s_, w_: (w_[i], 0, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=_band_scratch(a, xp, d),
-    )
-    return pl.pallas_call(
-        functools.partial(_band_kernel_into, bb=bb, precision=precision),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(buf.shape, buf.dtype),
-        input_output_aliases={4: 0},  # buf (after 2 scalar args, a, xp)
-        interpret=_interpret(),
-    )(starts, sw_ids, a, xp, buf)
-
-
 def spmm_fused_pallas(arrs, x, w, plan, compute_dtype):
     """Fused ``((A @ X) @ W, A @ X)`` when the plan is a full-coverage
     single band bucket; returns None otherwise (caller composes the
@@ -817,19 +778,29 @@ def spmm_pallas(arrs, x, plan, compute_dtype):
                 arrs[f"band{s}_a"], xp_band, num_sw, x.dtype,
             )
             return buf.reshape(num_sw * plan.band_h, dp)[:n, :d]
-        # multi-bucket: aliasing chain; a trailing trash block absorbs
-        # capacity-padded dummy supers when padding is present
-        trash = int(any(
-            arrs[f"band{s}_start"].shape[0] > len(plan.band_sw_ids[s])
-            for s in nonempty
-        ))
-        buf = jnp.zeros((num_sw + trash, plan.band_h, dp), x.dtype)
+        # Multi-bucket full cover: the most-populated bucket direct-writes
+        # the whole buffer (blocks owned by other buckets come out as
+        # uninitialized garbage), then the smaller buckets' block outputs
+        # scatter over exactly those blocks.  One small scatter pass per
+        # extra bucket replaces the old input/output-aliased chain, whose
+        # defensive copies measured ~2x the single-bucket kernel.
+        # Capacity-padded sw_ids carry num_sw and are dropped by the
+        # scatter's out-of-bounds mode (trash block on the main call).
+        s_main = max(nonempty, key=lambda s: len(plan.band_sw_ids[s]))
+        buf = band_bucket_spmm_direct(
+            arrs[f"band{s_main}_sw"], arrs[f"band{s_main}_start"],
+            arrs[f"band{s_main}_a"], xp_band, num_sw, x.dtype,
+            trash=(arrs[f"band{s_main}_start"].shape[0]
+                   > len(plan.band_sw_ids[s_main])),
+        )
         for s in nonempty:
-            buf = band_bucket_spmm_into(
-                buf, arrs[f"band{s}_sw"], arrs[f"band{s}_start"],
-                arrs[f"band{s}_a"], xp_band,
-            )
-        return buf[:num_sw].reshape(num_sw * plan.band_h, dp)[:n, :d]
+            if s == s_main:
+                continue
+            part = band_bucket_spmm(
+                arrs[f"band{s}_start"], arrs[f"band{s}_a"], xp_band
+            ).astype(x.dtype)
+            buf = buf.at[arrs[f"band{s}_sw"]].set(part, mode="drop")
+        return buf.reshape(num_sw * plan.band_h, dp)[:n, :d]
 
     outs = []
     for s in range(len(plan.band_widths)):

@@ -164,9 +164,10 @@ def test_band_gradient():
     np.testing.assert_allclose(np.asarray(g), gref, rtol=1e-3, atol=1e-3)
 
 
-def test_multi_bucket_band_aliasing_chain():
+def test_multi_bucket_band_scatter_merge():
     """Mixed component sizes that defeat the single-bucket collapse rule:
-    the full-coverage output must assemble through the aliasing chain."""
+    the full-coverage output assembles via the main bucket's direct write
+    plus block-scatter of the smaller buckets."""
     rng = np.random.RandomState(0)
     sizes = [40] * 60 + [400] * 2
     src_p, dst_p, lo = [], [], 0
