@@ -26,12 +26,83 @@ Semantics preserved:
 
 from __future__ import annotations
 
+import ctypes
 import dataclasses
+import os
+import subprocess
+import tempfile
+from typing import Optional
 
 import numpy as np
 
 from hcspmm_tpu.config import BLK_H, BLK_W, LOICoefficients
 from hcspmm_tpu.format import loi
+
+_SRC = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native", "preprocess.cpp",
+)
+_LIB_CACHE: Optional[ctypes.CDLL] = None
+_LIB_FAILED = False
+
+
+def _native_lib() -> Optional[ctypes.CDLL]:
+    """Compile native/preprocess.cpp to a cached shared library.
+
+    The C++ analyzer is the host equivalent of the reference's GPU
+    preprocessing kernels (hybrid_all_kernel.cu:213-408, OpenMP over
+    windows instead of one thread block per window); the NumPy path
+    below stays as the portable fallback and test oracle."""
+    global _LIB_CACHE, _LIB_FAILED
+    if _LIB_CACHE is not None:
+        return _LIB_CACHE
+    if _LIB_FAILED or not os.path.exists(_SRC):
+        return None
+    so_path = os.path.join(
+        tempfile.gettempdir(),
+        f"hcspmm_preprocess_{os.getuid()}_{int(os.path.getmtime(_SRC))}.so",
+    )
+    if not os.path.exists(so_path):
+        try:
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-fopenmp", "-shared",
+                 "-fPIC", "-o", so_path, _SRC],
+                check=True, capture_output=True, timeout=120,
+            )
+        except (subprocess.SubprocessError, FileNotFoundError):
+            try:  # toolchains without OpenMP
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", "-o", so_path, _SRC],
+                    check=True, capture_output=True, timeout=120,
+                )
+            except (subprocess.SubprocessError, FileNotFoundError):
+                _LIB_FAILED = True
+                return None
+    try:
+        lib = ctypes.CDLL(so_path)
+    except OSError:
+        _LIB_FAILED = True
+        return None
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.hcspmm_analyze_windows.argtypes = [
+        i32p, i32p, ctypes.c_int64, ctypes.c_int32, i32p, i64p, i32p,
+    ]
+    lib.hcspmm_analyze_windows.restype = ctypes.c_int32
+    lib.hcspmm_band_extents.argtypes = [
+        i32p, i32p, ctypes.c_int64, ctypes.c_int32, i64p, i64p,
+    ]
+    lib.hcspmm_band_extents.restype = ctypes.c_int32
+    _LIB_CACHE = lib
+    return lib
+
+
+def _i32ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def _i64ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
 
 
 @dataclasses.dataclass
@@ -73,6 +144,7 @@ def analyze_windows(
     loi_mode: str = "intended",
     loi_coeffs: LOICoefficients | None = None,
     num_cols: int | None = None,
+    backend: str = "auto",
 ) -> WindowAnalysis:
     """``num_nodes`` is the number of *rows* (the window axis).  For a
     rectangular operand (a row-block shard of a square adjacency, used by
@@ -93,19 +165,47 @@ def analyze_windows(
     ends = row_pointers[np.minimum(np.arange(num_windows) * window_h + window_h, num_nodes)]
     window_edge_ptr = np.concatenate([starts, ends[-1:]])
 
-    # Per-window unique neighbour columns.  Key = window * C + col is unique
-    # per (window, col) pair; np.unique gives the sorted flat unique list and
-    # the inverse map, exactly the dedup + binary-search of .cu:242-268.
-    keys = edge_to_window * np.int64(num_cols) + column_index
-    unique_keys, inverse = np.unique(keys, return_inverse=True)
-    unique_windows = unique_keys // num_cols
-    unique_cols = (unique_keys % num_cols).astype(np.int32)
-    unique_counts = np.bincount(unique_windows, minlength=num_windows).astype(np.int32)
-    unique_ptr = np.zeros(num_windows + 1, dtype=np.int64)
-    np.cumsum(unique_counts, out=unique_ptr[1:])
-
-    # Window-local compressed column index per edge.
-    edge_to_column = (inverse - unique_ptr[edge_to_window]).astype(np.int32)
+    # Per-window unique neighbour columns + per-edge compressed index —
+    # the dedup + binary-search of .cu:242-268.  Native path: OpenMP C++
+    # over windows (native/preprocess.cpp).  NumPy path: one np.unique
+    # over (window * C + col) keys; kept as portable fallback and oracle.
+    # 'auto' takes the OpenMP C++ analyzer only on multicore hosts: its
+    # two window-parallel passes scale with cores, while np.unique's
+    # single vectorized sort wins on one core (measured 0.18 s vs 0.57 s
+    # single-core at DD scale).
+    use_native = backend == "native" or (
+        backend == "auto" and (os.cpu_count() or 1) >= 4
+    )
+    lib = _native_lib() if use_native else None
+    if backend == "native" and lib is None:
+        raise RuntimeError("native analyzer unavailable (g++ failed?)")
+    if lib is not None and nnz > 0:
+        rp32 = np.ascontiguousarray(row_pointers, dtype=np.int32)
+        ci32 = np.ascontiguousarray(column_index, dtype=np.int32)
+        unique_cols = np.empty(nnz, dtype=np.int32)
+        unique_ptr = np.zeros(num_windows + 1, dtype=np.int64)
+        edge_to_column = np.empty(nnz, dtype=np.int32)
+        rc = lib.hcspmm_analyze_windows(
+            _i32ptr(rp32), _i32ptr(ci32), num_nodes, window_h,
+            _i32ptr(unique_cols), _i64ptr(unique_ptr),
+            _i32ptr(edge_to_column),
+        )
+        if rc != 0:
+            raise RuntimeError(f"hcspmm_analyze_windows rc={rc}")
+        unique_cols = unique_cols[: int(unique_ptr[-1])].copy()
+        unique_counts = np.diff(unique_ptr).astype(np.int32)
+    else:
+        keys = edge_to_window * np.int64(num_cols) + column_index
+        unique_keys, inverse = np.unique(keys, return_inverse=True)
+        unique_windows = unique_keys // num_cols
+        unique_cols = (unique_keys % num_cols).astype(np.int32)
+        unique_counts = np.bincount(
+            unique_windows, minlength=num_windows
+        ).astype(np.int32)
+        unique_ptr = np.zeros(num_windows + 1, dtype=np.int64)
+        np.cumsum(unique_counts, out=unique_ptr[1:])
+        # Window-local compressed column index per edge.
+        edge_to_column = (inverse - unique_ptr[edge_to_window]).astype(np.int32)
 
     edge_counts = (ends - starts).astype(np.int32)
     block_partition = ((unique_counts + block_w - 1) // block_w).astype(np.int32)

@@ -108,3 +108,31 @@ def test_transpose_csr():
     for r in range(nn):
         at[r, cit[rpt[r]: rpt[r + 1]]] = 1
     assert np.array_equal(a.T, at)
+
+
+def test_native_analyzer_matches_numpy():
+    """native/preprocess.cpp vs the NumPy oracle, including a ragged tail
+    window and duplicate-heavy columns."""
+    import pytest
+
+    from hcspmm_tpu.format.windows import _native_lib, analyze_windows
+
+    if _native_lib() is None:
+        pytest.skip("native analyzer unavailable")
+    rng = np.random.RandomState(0)
+    n = 203
+    deg = rng.randint(0, 9, n)
+    rp = np.zeros(n + 1, np.int32)
+    np.cumsum(deg, out=rp[1:])
+    ci = rng.randint(0, n, int(rp[-1])).astype(np.int32)
+    # CSR rows must be sorted for reduceat-style consumers; analyzer
+    # itself doesn't require it, but match production inputs
+    for r in range(n):
+        ci[rp[r]: rp[r + 1]] = np.sort(ci[rp[r]: rp[r + 1]])
+    a = analyze_windows(rp, ci, n, backend="native")
+    b = analyze_windows(rp, ci, n, backend="numpy")
+    np.testing.assert_array_equal(a.unique_cols, b.unique_cols)
+    np.testing.assert_array_equal(a.unique_ptr, b.unique_ptr)
+    np.testing.assert_array_equal(a.unique_counts, b.unique_counts)
+    np.testing.assert_array_equal(a.edge_to_column, b.edge_to_column)
+    np.testing.assert_array_equal(a.hybrid_type, b.hybrid_type)
