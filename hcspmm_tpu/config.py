@@ -18,6 +18,23 @@ from typing import Optional, Sequence, Tuple
 BLK_H = 16  # row-window height (rows per window)
 BLK_W = 8   # column-block width used for block_partition counting
 
+# Scalar-prefetch padding for the tiled band kernel: format.plan pads the
+# tp_* arrays by this many entries so the kernel's lookahead reads (A ring
+# lookahead + X prefetch) never index past the last pair.  Must be >= the
+# largest lookahead in kernels.block_spmm (_TILED_LA_A, _TILED_LA_X).
+TILED_SCALAR_PAD = 8
+
+# Grid-step grouping of the dense/ELL bucket kernels (kernels.block_spmm);
+# format.plan pads bucket capacities to these multiples so the kernels
+# never pad in-trace (a traced concat copies the whole A array per call).
+DENSE_GROUP = 8
+
+
+def ell_rows_per_step(de: int) -> int:
+    """Rows per ELL kernel grid step for degree bucket width ``de``."""
+    return max(8, 2048 // de)
+
+
 # TPU hardware model (v5e defaults) used for roofline reporting.
 TPU_HBM_GBPS = 819.0          # v5e HBM bandwidth, GB/s
 TPU_BF16_TFLOPS = 197.0       # v5e MXU bf16 peak, TFLOP/s

@@ -246,7 +246,7 @@ class ExecutionPlan:
             # scalar arrays padded by the kernel's lookahead depth so
             # prefetch reads past the last pair stay in bounds (padded
             # entries: repeat-last tile/super, zero flags -> no-ops)
-            pad = 8
+            from hcspmm_tpu.config import TILED_SCALAR_PAD as pad
 
             def _lap(a, repeat_last: bool):
                 fill = a[-1] if repeat_last and len(a) else 0
@@ -397,12 +397,16 @@ def build_plan(
     bh = config.band_h
     if band_widths and bh % wh != 0:
         raise ValueError("band_h must be a multiple of window_h")
+    if any(int(w) % 16 for w in band_widths):
+        # band starts (incl. the padded-layout clamp num_sw*band_h - W)
+        # must stay 16-aligned: the kernels assert that to Mosaic via
+        # pl.multiple_of on the dynamic HBM slice
+        raise ValueError("band widths must be multiples of 16")
     num_sw = (n + bh - 1) // bh if band_widths else 0
     band_starts: List[np.ndarray] = []
     band_edges: List[np.ndarray] = []
     band_sw_ids: List[np.ndarray] = []
     band_window_mask = np.zeros(wa.num_windows, dtype=bool)
-    band_row_mask = np.zeros(n, dtype=bool)
     xp_rows = c + 1
     band_nnz = 0
     caps_s = caps.band_supers or (0,) * len(band_widths)
@@ -531,12 +535,6 @@ def build_plan(
                 sw_pos[sws] = np.arange(len(sws))
                 starts_arr[: len(sws)] = start[sws].astype(np.int32)
                 xp_rows = max(xp_rows, int((start[sws] + bbw).max()))
-                # mark ownership
-                rows = (
-                    sws[:, None] * bh + np.arange(bh)[None, :]
-                ).reshape(-1)
-                rows = rows[rows < n]
-                band_row_mask[rows] = True
                 # compact A: (super pos, local row, band-local col) per edge
                 sel_e = band_sel[sw_of_edge] & (bucket_sw[sw_of_edge] == s)
                 e_sw = sw_of_edge[sel_e]
@@ -593,7 +591,12 @@ def build_plan(
     unique_gather_rows = 0
     for b, kb in enumerate(widths):
         wids = np.where(dense_mask_w & (bucket_of == b))[0].astype(np.int64)
+        # capacity to a kernel-group multiple so dense_bucket_spmm never
+        # pads in-trace (a traced concat copies the whole A array/call)
         wb = max(len(wids), caps_b[b])
+        if wb:
+            from hcspmm_tpu.config import DENSE_GROUP
+            wb = -(-wb // DENSE_GROUP) * DENSE_GROUP
         cols = np.full((wb, kb), c, dtype=np.int32)
         a = np.zeros((wb, wh, kb), dtype=np.int8)
         if len(wids):
@@ -644,6 +647,10 @@ def build_plan(
     for e, de in enumerate(ell_widths):
         rows_e = np.where(sparse_row_mask & (ell_bucket_of == e))[0].astype(np.int64)
         rb = max(len(rows_e), caps_e[e])
+        if rb:
+            from hcspmm_tpu.config import ell_rows_per_step
+            r_step = min(ell_rows_per_step(de), rb)
+            rb = -(-rb // r_step) * r_step
         cols = np.full((rb, de), c, dtype=np.int32)
         if len(rows_e):
             degs = degrees[rows_e]

@@ -659,7 +659,7 @@ def spmm_fused_pallas(arrs, x, w, plan, compute_dtype):
         return None
     s = nonempty[0]
     dp = _cdiv(d, 128) * 128
-    pad_rows = max(plan.xp_rows - n, 1)
+    pad_rows = max(plan.xp_rows - x.shape[0], 1)  # X spans the COLUMN space
     xp = jnp.concatenate([x, jnp.zeros((pad_rows, d), x.dtype)])
     if dp != d:
         xp = jnp.pad(xp, ((0, 0), (0, dp - d)))
@@ -710,6 +710,7 @@ def spmm_pallas_padded(arrs, xp, plan, compute_dtype):
     pad/slice/merge passes — at DD scale those passes cost ~350 us on top
     of the ~800 us kernel.  Caller gate: ``spmm_padded_supported(plan)``.
     """
+    xp = xp.astype(compute_dtype)
     m, dp = xp.shape
     if getattr(plan, "tiled", False):
         return band_tiled_spmm(arrs, xp, plan, xp.dtype).reshape(m, dp)
@@ -725,7 +726,9 @@ def spmm_pallas_padded(arrs, xp, plan, compute_dtype):
 
 def spmm_pallas(arrs, x, plan, compute_dtype):
     """Drop-in for ops.spmm._spmm_xla with Pallas hot paths."""
-    n, d = x.shape
+    # output rows = plan.num_nodes; x carries plan.num_cols(+pad) rows on
+    # rectangular shard operands, so never derive row counts from x
+    n, d = plan.num_nodes, x.shape[1]
     if getattr(plan, "tiled", False):
         # tiled plans carry only tp_* arrays; run the padded core with
         # one-time glue (padded callers skip this entirely)
@@ -738,7 +741,7 @@ def spmm_pallas(arrs, x, plan, compute_dtype):
     # vector registers; pad features up (a 384-byte row read costs a full
     # 512-byte HBM transaction regardless, so the padding is ~free).
     dp = _cdiv(d, 128) * 128
-    pad_rows = max(plan.xp_rows - n, 1)
+    pad_rows = max(plan.xp_rows - x.shape[0], 1)  # X spans the COLUMN space
     xp = jnp.concatenate([x, jnp.zeros((pad_rows, d), x.dtype)])
     if dp != d:
         xp = jnp.pad(xp, ((0, 0), (0, dp - d)))

@@ -280,3 +280,38 @@ class TestTiledBand:
         zref = spmm_reference_dense(rp, ci, 400, x)
         scale = np.abs(zref).max() + 1e-9
         assert np.abs(z - zref).max() / scale < 1e-5
+
+
+def test_rectangular_band_full_cover_shard_plan():
+    """Row-block shard operand (num_cols > num_nodes) through the pallas
+    full-cover band path: row counts must come from the plan, not from
+    the column-space X operand (regression: num_sw/slice were derived
+    from x.shape[0])."""
+    import jax.numpy as jnp
+
+    from hcspmm_tpu.format.plan import build_plan
+    from hcspmm_tpu.ops.spmm import make_spmm
+
+    rng = np.random.RandomState(2)
+    n_rows, n_cols, d = 64, 256, 9
+    # every row's neighbours inside a narrow window -> bands fit
+    rp = np.arange(0, 4 * (n_rows + 1), 4, dtype=np.int32)
+    base = (np.arange(n_rows) * 3).astype(np.int32)
+    ci = np.sort(
+        (base[:, None] + rng.randint(0, 24, (n_rows, 4))) % n_cols, axis=1
+    ).astype(np.int32).reshape(-1)
+    cfg = PlanConfig(impl="pallas", band_mode="always", band_h=32,
+                     band_widths=(256,))
+    plan = build_plan(rp, ci, n_rows, cfg, num_cols=n_cols)
+    assert plan.band_full_cover and plan.num_cols != plan.num_nodes
+    fn = make_spmm(plan, plan, compute_dtype="float32", impl="pallas")
+    arrs = {k: jnp.asarray(v)
+            for k, v in plan.device_arrays(dense_band=True).items()}
+    x = rng.randn(n_cols, d).astype(np.float32)
+    z = np.asarray(jax.jit(fn)(arrs, arrs, jnp.asarray(x)))
+    assert z.shape == (n_rows, d)
+    a = np.zeros((n_rows, n_cols))
+    for r in range(n_rows):
+        a[r, ci[rp[r]: rp[r + 1]]] = 1  # binary adjacency: dups collapse
+    zref = a @ x
+    np.testing.assert_allclose(z, zref, rtol=1e-4, atol=1e-4)
