@@ -315,3 +315,27 @@ def test_rectangular_band_full_cover_shard_plan():
         a[r, ci[rp[r]: rp[r + 1]]] = 1  # binary adjacency: dups collapse
     zref = a @ x
     np.testing.assert_allclose(z, zref, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("impl", ["wide", "tiled"])
+def test_padded_wide_dim_over_one_lane_tile(impl):
+    """dp = 256 (dim > 128) through the padded band kernels."""
+    src, dst, nn = io.synthetic_blocks(256, 4, 32, seed=3)
+    rp, ci = io.to_csr(src, dst, nn)
+    from hcspmm_tpu.format import reorder as _ro
+    perm = _ro.rcm_reorder(rp, ci, nn)
+    rp, ci = _ro.apply_permutation(rp, ci, nn, perm)
+    bh = 128 if impl == "tiled" else 32
+    op = HybridSpMM(rp, ci, nn, PlanConfig(
+        impl="pallas", band_mode="always", band_h=bh, band_widths=(256,),
+        band_impl=impl, band_tile_slots=4))
+    if impl == "tiled" and not op.plan.tiled:
+        pytest.skip("plan not tiled on this shape")
+    x = np.random.RandomState(1).randn(nn, 130).astype(np.float32)
+    xp = op.pad_input(jnp_asarray(x))
+    assert xp.shape[1] == 256
+    out = jax.jit(lambda a, v: op.apply_padded(a, v))(op.arrays, xp)
+    z = np.asarray(op.unpad_output(out, 130))
+    zref = spmm_reference_dense(rp, ci, nn, x)
+    scale = np.abs(zref).max() + 1e-9
+    assert np.abs(z - zref).max() / scale < 1e-5
