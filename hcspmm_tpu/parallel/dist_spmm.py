@@ -32,6 +32,25 @@ from hcspmm_tpu.parallel.partition import ShardedPlan, pad_rows
 
 
 def _local_spmm(arrs, x_view, sharded: ShardedPlan, compute_dtype):
+    if sharded.impl == "pallas" and sharded.plans:
+        # Shard-local compute through the same Pallas kernels as the
+        # single-chip path.  One shard_map program serves every shard, so
+        # the trace must be shard-uniform: the proxy plan pins the
+        # caps-uniform metadata and forces the generic (non-direct-write)
+        # branch — the full-cover fast path gates on per-shard realities
+        # (coverage, sw counts) that differ across shards.
+        import dataclasses as _dc
+
+        from hcspmm_tpu.kernels.block_spmm import spmm_pallas
+
+        proxy = _dc.replace(
+            sharded.plans[0],
+            band_full_cover=False,
+            tiled=False,
+            xp_rows=sharded.xp_rows,
+            num_sparse_rows=sharded.num_sparse_rows,
+        )
+        return spmm_pallas(arrs, x_view, proxy, compute_dtype)
     return _spmm_xla(
         arrs,
         x_view,
@@ -109,6 +128,9 @@ def make_dist_spmm(
             body, mesh=mesh,
             in_specs=(jax.tree.map(lambda _: P(axis), stacked), P(axis)),
             out_specs=P(axis),
+            # pallas_call emits vma-less ShapeDtypeStructs; the varying-
+            # across-mesh check cannot see through it
+            check_vma=False,
         )
 
         def run(arrays, x):
@@ -120,6 +142,7 @@ def make_dist_spmm(
             body, mesh=mesh,
             in_specs=(jax.tree.map(lambda _: P(axis), stacked), P(axis), P(axis)),
             out_specs=P(axis),
+            check_vma=False,
         )
 
         def run(arrays, x):

@@ -60,6 +60,7 @@ class ShardedPlan:
     send_idx: Optional[np.ndarray] = None   # int32 [S, S-1, H] local rows owner
                                             # sends in round r (to shard i+r+1)
     plans: Optional[List[ExecutionPlan]] = None  # host-side, for stats
+    impl: str = "xla"   # shard-local compute: 'xla' | 'pallas'
 
     @property
     def nnz(self) -> int:
@@ -97,6 +98,10 @@ def build_sharded_plan(
         # uniform stacking caps; pin the ladder for sharded plans
         config = dataclasses.replace(config,
                                      band_widths=(256, 512, 1024, 2048))
+    if config.band_impl != "wide":
+        # tiled pair streams are per-shard-shaped (and square-gated);
+        # sharded plans always use the wide band arrays
+        config = dataclasses.replace(config, band_impl="wide")
     wh = config.window_h
     chunk = wh * num_shards
     n_padded = ((num_nodes + chunk - 1) // chunk) * chunk
@@ -248,4 +253,5 @@ def build_sharded_plan(
         halo_pair=halo_pair if mode in ("halo", "band_halo") else 0,
         send_idx=send_idx if mode == "halo" else None,
         plans=plans,
+        impl=config.impl,
     )

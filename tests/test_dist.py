@@ -170,3 +170,36 @@ def test_band_halo_rejects_out_of_window_columns():
         build_sharded_plan(rp, ci, nn, 4,
                            PlanConfig(band_widths=(128,), band_h=64),
                            mode="band_halo")
+
+
+import pytest
+
+
+@pytest.mark.parametrize("mode", ["allgather", "band_halo", "halo"])
+def test_dist_pallas_local_compute_matches_oracle(mode):
+    """Shard-local compute through the Pallas kernels (impl='pallas'):
+    the same shard_map program with pallas_call bodies per shard."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from hcspmm_tpu.config import PlanConfig
+    from hcspmm_tpu.graphs import io
+    from hcspmm_tpu.format import reorder as _ro
+    from hcspmm_tpu.ops.spmm import spmm_reference_dense
+    from hcspmm_tpu.parallel.dist_spmm import DistHybridSpMM
+
+    src, dst, nn = io.synthetic_blocks(1024, 6, block_size=100, seed=5)
+    rp, ci = io.to_csr(src, dst, nn)
+    perm = _ro.rcm_reorder(rp, ci, nn)
+    rp, ci = _ro.apply_permutation(rp, ci, nn, perm)
+    x = np.random.RandomState(0).randn(nn, 16).astype(np.float32)
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("x",))
+    cfg = PlanConfig(band_mode="always", band_h=64,
+                     band_widths=(128, 256), impl="pallas")
+    op = DistHybridSpMM(rp, ci, nn, mesh, config=cfg, mode=mode)
+    assert op.sharded.impl == "pallas"
+    z = np.asarray(op(jax.device_put(op.pad(x), op.sharding)))[:nn]
+    ref = spmm_reference_dense(rp, ci, nn, x)
+    np.testing.assert_allclose(z, ref, rtol=1e-4, atol=1e-4)
