@@ -443,11 +443,24 @@ def build_plan(
             if len(ne_ext):
                 r128 = lambda v: max(128, -(-int(v) // 128) * 128)
                 w_max = r128(ne_ext.max())
-                w_p95 = r128(np.percentile(ne_ext, 95))
-                if w_max <= max(1.3 * w_p95, 512):
-                    band_widths = (w_max,)
-                else:
-                    band_widths = tuple(sorted({w_p95, w_max}))
+                # Two-bucket split when it cuts band bytes (A + X band
+                # both scale with width): the multi-bucket full-cover
+                # path costs one direct write + a small block scatter,
+                # so a >=10% byte saving wins.  Candidate lower widths
+                # from extent percentiles.
+                best = (len(ne_ext) * w_max, (w_max,))
+                for pct in (50, 60, 70, 80, 90, 95):
+                    w_lo = r128(np.percentile(ne_ext, pct))
+                    if w_lo >= w_max:
+                        continue
+                    n_lo = int((ne_ext <= w_lo).sum())
+                    bytes_2 = n_lo * w_lo + (len(ne_ext) - n_lo) * w_max
+                    if bytes_2 < best[0]:
+                        best = (bytes_2, tuple(sorted({w_lo, w_max})))
+                single_bytes = len(ne_ext) * w_max
+                band_widths = (
+                    best[1] if best[0] <= 0.9 * single_bytes else (w_max,)
+                )
             caps_s = (0,) * len(band_widths)
             xp_rows = max(xp_rows, int(band_widths[-1]))
         bucket_sw = np.searchsorted(np.asarray(band_widths), extent)
@@ -487,11 +500,13 @@ def build_plan(
             band_sel = band_sel | ~nonempty
         band_full_cover = bool(band_sel.all()) and len(band_sel) > 0
 
-        # Collapse to a single width bucket when the extra A padding is
-        # cheap: one full-coverage kernel direct-writes the whole output,
-        # while a multi-bucket aliasing chain measured ~2x slower (zeros
-        # init + per-call buffer passes) at DD scale.
-        if band_full_cover:
+        # Collapse a *configured* ladder to a single width bucket when the
+        # extra A padding is cheap (auto widths already chose the optimal
+        # split from the extent distribution — never collapse those).
+        # Multi-bucket full cover costs one direct write + a small block
+        # scatter (kernels.block_spmm), so this is a mild preference for
+        # the one-kernel shape, not the old 2x aliasing-chain penalty.
+        if band_full_cover and not auto_width:
             sel = np.where(band_sel)[0]
             used = np.unique(bucket_sw[sel])
             if len(used) > 1:

@@ -693,10 +693,11 @@ def spmm_padded_supported(plan) -> bool:
         #              construction (build gate: full cover, square)
     if not plan.band_padded_ok:
         return False
+    # full cover (from band_padded_ok) means every superwindow block is
+    # owned by exactly one bucket: single bucket -> one direct write;
+    # multi-bucket -> main-bucket direct write + block scatter
     num_sw = plan.padded_rows // plan.band_h
-    nonempty = [s for s in range(len(plan.band_widths))
-                if plan.band_starts[s].shape[0] > 0]
-    return len(nonempty) == 1 and len(plan.band_sw_ids[nonempty[0]]) == num_sw
+    return sum(len(s) for s in plan.band_sw_ids) == num_sw
 
 
 def spmm_pallas_padded(arrs, xp, plan, compute_dtype):
@@ -715,12 +716,24 @@ def spmm_pallas_padded(arrs, xp, plan, compute_dtype):
     if getattr(plan, "tiled", False):
         return band_tiled_spmm(arrs, xp, plan, xp.dtype).reshape(m, dp)
     num_sw = m // plan.band_h
-    s = [i for i in range(len(plan.band_widths))
-         if arrs[f"band{i}_start"].shape[0] > 0][0]
+    nonempty = [i for i in range(len(plan.band_widths))
+                if arrs[f"band{i}_start"].shape[0] > 0]
+    s_main = max(nonempty, key=lambda i: len(plan.band_sw_ids[i]))
     buf = band_bucket_spmm_direct(
-        arrs[f"band{s}_sw"], arrs[f"band{s}_start"], arrs[f"band{s}_a"],
-        xp, num_sw, xp.dtype,
+        arrs[f"band{s_main}_sw"], arrs[f"band{s_main}_start"],
+        arrs[f"band{s_main}_a"], xp, num_sw, xp.dtype,
+        trash=(arrs[f"band{s_main}_start"].shape[0]
+               > len(plan.band_sw_ids[s_main])),
     )
+    # smaller buckets' blocks overwrite the main call's unwritten
+    # (garbage) blocks; full cover guarantees disjoint complete ownership
+    for i in nonempty:
+        if i == s_main:
+            continue
+        part = band_bucket_spmm(
+            arrs[f"band{i}_start"], arrs[f"band{i}_a"], xp
+        ).astype(xp.dtype)
+        buf = buf.at[arrs[f"band{i}_sw"]].set(part, mode="drop")
     return buf.reshape(m, dp)
 
 

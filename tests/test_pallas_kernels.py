@@ -339,3 +339,39 @@ def test_padded_wide_dim_over_one_lane_tile(impl):
     zref = spmm_reference_dense(rp, ci, nn, x)
     scale = np.abs(zref).max() + 1e-9
     assert np.abs(z - zref).max() / scale < 1e-5
+
+
+def test_padded_multi_bucket_scatter():
+    """Two-bucket full-cover plan through the padded layout: main-bucket
+    direct write + block scatter, closed [M, dp] -> [M, dp]."""
+    rng = np.random.RandomState(0)
+    # mixed component sizes -> mixed extents -> two width buckets
+    sizes = [24] * 12 + [120] * 2
+    src_p, dst_p, lo = [], [], 0
+    for s_ in sizes:
+        cnt = s_ * 3
+        src_p.append(rng.randint(lo, lo + s_, cnt))
+        dst_p.append(rng.randint(lo, lo + s_, cnt))
+        lo += s_
+    src = np.concatenate(src_p + dst_p)
+    dst = np.concatenate(dst_p + src_p)
+    k = src != dst
+    nn = lo
+    rp, ci = io.to_csr(src[k], dst[k], nn)
+    op = HybridSpMM(rp, ci, nn, PlanConfig(
+        impl="pallas", band_mode="always", band_h=32,
+        band_widths=(64, 256)))
+    plan = op.plan
+    if sum(len(s) > 0 for s in plan.band_sw_ids) < 2:
+        pytest.skip("graph didn't split into two buckets")
+    assert op.supports_padded
+    x = rng.randn(nn, 12).astype(np.float32)
+    xp = op.pad_input(jnp_asarray(x))
+    out = jax.jit(lambda a, v: op.apply_padded(a, op.apply_padded(a, v))
+                  )(op.arrays, xp)
+    z = np.asarray(op.unpad_output(out, 12))
+    zref = spmm_reference_dense(
+        rp, ci, nn, spmm_reference_dense(rp, ci, nn, x))
+    scale = np.abs(zref).max() + 1e-9
+    assert np.abs(z - zref).max() / scale < 1e-5
+    assert (np.asarray(out)[nn:] == 0).all()
