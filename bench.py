@@ -54,6 +54,7 @@ def main() -> int:
     band = os.environ.get("HCSPMM_BENCH_BAND", "auto")
     block = int(os.environ.get("HCSPMM_BENCH_BLOCK", 300))
     k = int(os.environ.get("HCSPMM_BENCH_K", 20))
+    k1 = int(os.environ.get("HCSPMM_BENCH_K1", 10))
     # Default band config: bh=256 + auto width (the plan resolves a single
     # bucket from the extent distribution -> one no-alias direct-write
     # kernel; measured best at DD scale: 548 us vs 729 at bh=512/W=1024)
@@ -126,10 +127,10 @@ def main() -> int:
                 return op.apply_padded(a, v)
 
         x_t = op.pad_input(x)
-        dur = chained_timer(_Padded, x_t, k1=2, k2=2 + k, trials=6)
+        dur = chained_timer(_Padded, x_t, k1=k1, k2=k1 + k, trials=6)
     else:
         layout = "rows"
-        dur = chained_timer(op, x, k1=2, k2=2 + k, trials=6)
+        dur = chained_timer(op, x, k1=k1, k2=k1 + k, trials=6)
 
     gnnz = nnz / dur / 1e9
     baseline_gnnz = 13.87  # RTX 3090, DD, BASELINE.md Table XVI

@@ -443,11 +443,13 @@ def build_plan(
             if len(ne_ext):
                 r128 = lambda v: max(128, -(-int(v) // 128) * 128)
                 w_max = r128(ne_ext.max())
-                # Two-bucket split when it cuts band bytes (A + X band
-                # both scale with width): the multi-bucket full-cover
-                # path costs one direct write + a small block scatter,
-                # so a >=10% byte saving wins.  Candidate lower widths
-                # from extent percentiles.
+                # Two-bucket split only when it cuts band bytes >=25%
+                # (A + X band both scale with width): the multi-bucket
+                # full-cover path costs one direct write + a block
+                # scatter + a second kernel's pipeline fill, measured
+                # worth ~70 us at DD scale (606 vs 535 us for a 16%
+                # byte cut — split loses).  Candidate lower widths from
+                # extent percentiles.
                 best = (len(ne_ext) * w_max, (w_max,))
                 for pct in (50, 60, 70, 80, 90, 95):
                     w_lo = r128(np.percentile(ne_ext, pct))
@@ -459,7 +461,7 @@ def build_plan(
                         best = (bytes_2, tuple(sorted({w_lo, w_max})))
                 single_bytes = len(ne_ext) * w_max
                 band_widths = (
-                    best[1] if best[0] <= 0.9 * single_bytes else (w_max,)
+                    best[1] if best[0] <= 0.75 * single_bytes else (w_max,)
                 )
             caps_s = (0,) * len(band_widths)
             xp_rows = max(xp_rows, int(band_widths[-1]))

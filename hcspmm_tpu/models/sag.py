@@ -53,27 +53,39 @@ def chained_apply_time(fn: Callable, x: jnp.ndarray, k1: int = 2,
     float(g1(arrays, x))
     float(g2(arrays, x))
 
-    def samples(g):
-        out = []
-        for _ in range(trials):
-            t0 = time.perf_counter()
-            float(g(arrays, x))
-            out.append(time.perf_counter() - t0)
-        return sorted(out)
+    def one(g):
+        t0 = time.perf_counter()
+        float(g(arrays, x))
+        return time.perf_counter() - t0
 
     def median(v):
+        v = sorted(v)
         return v[len(v) // 2] if len(v) % 2 else 0.5 * (v[len(v) // 2 - 1] + v[len(v) // 2])
 
-    # medians are robust to the tunnel's occasional multi-ms stalls
-    # (min-of-N differencing can even go negative under contention)
-    dur = (median(samples(g2)) - median(samples(g1))) / (k2 - k1)
+    # INTERLEAVED pair differencing: chip/tunnel speed drifts on a
+    # seconds scale, so timing all K1 chains then all K2 chains bakes the
+    # drift into the difference (observed as physically-impossible
+    # sub-roofline readings).  Adjacent (K1, K2) pairs see the same chip
+    # state; the median of per-pair diffs is robust to both drift and
+    # occasional multi-ms stalls.
+    diffs = []
+    for _ in range(trials):
+        t1 = one(g1)
+        t2 = one(g2)
+        diffs.append(t2 - t1)
+    dur = median(diffs) / (k2 - k1)
     if dur <= 0:
         # tiny-workload regime: the differencing noise exceeds the work;
         # lengthen the chain once so the signal dominates the ~35 ms RTT
         k3 = k1 + (k2 - k1) * 16
         g3 = make(k3)
         float(g3(arrays, x))
-        dur = (median(samples(g3)) - median(samples(g1))) / (k3 - k1)
+        diffs = []
+        for _ in range(trials):
+            t1 = one(g1)
+            t3 = one(g3)
+            diffs.append(t3 - t1)
+        dur = median(diffs) / (k3 - k1)
     return max(dur, 1e-9)
 
 

@@ -141,6 +141,15 @@ def _spmm_xla(arrs, x, *, num_buckets, num_ell, num_band, window_h, band_h,
     return jnp.take(allrows, arrs["out_perm"], axis=0).astype(x.dtype)
 
 
+@functools.partial(jax.jit, static_argnums=1)
+def _expand_row_bits(packed: jnp.ndarray, rows: int) -> jnp.ndarray:
+    """[S, rows/8, W] uint8 (bit i = row 8k+i, little order) -> int8
+    [S, rows, W] — device-side unpack of bit-packed binary A blocks."""
+    rep = jnp.repeat(packed, 8, axis=1)
+    shifts = (jnp.arange(rows, dtype=jnp.uint8) % 8)[None, :, None]
+    return ((rep >> shifts) & 1).astype(jnp.int8)
+
+
 def _float0_zeros(tree):
     """float0 cotangents for integer-dtype plan arrays."""
     import jax.dtypes
@@ -389,15 +398,25 @@ class HybridSpMM:
             if config.impl == "pallas" else None
         )
         def to_device(plan):
-            # Plans carry band A as compact edge triples; densify on host
-            # and upload.  (A device-side scatter was tried and measured
-            # ~40 s: XLA scatter of 1.7M updates executes serially.)
+            # Plans carry band A as compact edge triples; densify on host,
+            # then upload the binary blocks BIT-PACKED along the row axis
+            # (8x fewer bytes over the host->device link) and expand once
+            # on device with a jitted shift-and-mask — a single fused
+            # elementwise pass.  (A device-side edge scatter was tried
+            # and measured ~40 s: XLA scatter of 1.7M updates serializes.)
             out = {}
             for k, v in plan.device_arrays(dense_band=True).items():
-                a = jnp.asarray(v)
-                if config.a_dtype == "int4" and k.endswith("_a") and (
+                is_band_a = k.endswith("_a") and (
                     k.startswith("band") or k.startswith("tp")
-                ):
+                )
+                if is_band_a and v.ndim == 3 and v.shape[1] % 8 == 0:
+                    packed = np.packbits(
+                        v.astype(np.uint8), axis=1, bitorder="little"
+                    )
+                    a = _expand_row_bits(jnp.asarray(packed), v.shape[1])
+                else:
+                    a = jnp.asarray(v)
+                if config.a_dtype == "int4" and is_band_a:
                     a = a.astype(jnp.int4)
                 out[k] = a
             return out

@@ -191,3 +191,13 @@ def test_multi_bucket_band_scatter_merge():
     used = [len(s) for s in op.plan.band_sw_ids if len(s) > 0]
     assert len(used) >= 2, used          # genuinely multi-bucket
     assert op.plan.band_full_cover
+
+
+def test_expand_row_bits_roundtrip():
+    from hcspmm_tpu.ops.spmm import _expand_row_bits
+
+    rng = np.random.RandomState(0)
+    a = (rng.rand(3, 32, 24) < 0.3).astype(np.int8)
+    packed = np.packbits(a.astype(np.uint8), axis=1, bitorder="little")
+    out = np.asarray(_expand_row_bits(jnp.asarray(packed), 32))
+    np.testing.assert_array_equal(out, a)
