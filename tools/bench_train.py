@@ -50,15 +50,15 @@ def epoch_time(step_fn, params, opt_state, x, y, rng, k1=2, k2=8, trials=3):
     float(g1(params, opt_state, arrays, x, y, rng))
     float(g2(params, opt_state, arrays, x, y, rng))
 
-    def best(g):
-        b = float("inf")
-        for _ in range(trials):
-            t0 = time.perf_counter()
-            float(g(params, opt_state, arrays, x, y, rng))
-            b = min(b, time.perf_counter() - t0)
-        return b
+    def one(g):
+        t0 = time.perf_counter()
+        float(g(params, opt_state, arrays, x, y, rng))
+        return time.perf_counter() - t0
 
-    return (best(g2) - best(g1)) / (k2 - k1)
+    # interleaved pair differencing (models/sag.py): chip-speed drift
+    # between separated K1/K2 phases corrupts the difference
+    diffs = sorted(one(g2) - one(g1) for _ in range(trials))
+    return diffs[len(diffs) // 2] / (k2 - k1)
 
 
 def run_config(name, model, layers, hidden, dim, classes, nodes, degree,
