@@ -157,7 +157,22 @@ def main() -> int:
             * (plan.band_widths[s] * dp * xbytes)         # X band
             for s in range(len(plan.band_widths))
         )
-    total_bytes = band_bytes + nn * dp * xbytes       # + output
+    # gather-path traffic (nonzero when coverage is partial / band off):
+    # dense/ELL gathers stage rows in an f32 container (kernels), the
+    # residual path reads one row per edge
+    gather_rows = sum(
+        len(plan.bucket_window_ids[b]) * plan.bucket_widths[b]
+        for b in range(len(plan.bucket_widths))
+    ) + sum(
+        len(plan.ell_row_ids[e]) * plan.ell_widths[e]
+        for e in range(len(plan.ell_widths))
+    ) + plan.sparse_nnz
+    dense_a_bytes = sum(
+        len(plan.bucket_window_ids[b]) * plan.window_h * plan.bucket_widths[b]
+        for b in range(len(plan.bucket_widths))
+    )
+    gather_bytes = gather_rows * dp * 4 + dense_a_bytes
+    total_bytes = band_bytes + gather_bytes + nn * dp * xbytes  # + output
     hbm_gbps = 970.0  # measured effective on this chip (tools/profile_band)
     roofline_us = total_bytes / hbm_gbps / 1e3
     print(
@@ -173,7 +188,7 @@ def main() -> int:
                 "dtype": dtype,
                 "mode": mode,
                 "layout": layout,
-                "band_impl": band_impl,
+                "band_impl": ("tiled" if getattr(plan, "tiled", False) else "wide"),
                 "impl": impl,
                 "graph": graph,
                 "reorder": reorder_mode,

@@ -130,8 +130,15 @@ def fit_logistic(
     steps: int = 3000,
     l2: float = 1e-4,
     seed: int = 0,
+    max_cols: int = 256,
 ) -> LOICoefficients:
-    """Plain NumPy logistic regression (no sklearn in the image)."""
+    """Plain NumPy logistic regression (no sklearn in the image).
+
+    ``max_cols`` defaults to the widest MXU bucket: a freshly calibrated
+    TPU selector must not inherit the reference's GPU cap of 32, which
+    would force-route every wider window sparse regardless of the fitted
+    coefficients (the measured v5e crossover favors MXU almost
+    everywhere — see config.LOI_TPU_V5E)."""
     x = np.asarray(features, dtype=np.float64)
     y = np.asarray(labels, dtype=np.float64)
     mu, sd = x.mean(0), x.std(0) + 1e-9
@@ -154,7 +161,7 @@ def fit_logistic(
         w_cols=float(w_raw[0]),
         w_density=float(w_raw[1]),
         bias=float(b_raw),
-        max_cols=LOICoefficients().max_cols,
+        max_cols=max_cols,
     )
 
 

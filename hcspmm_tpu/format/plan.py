@@ -397,6 +397,14 @@ def build_plan(
     bh = config.band_h
     if band_widths and bh % wh != 0:
         raise ValueError("band_h must be a multiple of window_h")
+    if config.impl == "pallas" and band_widths:
+        # Mosaic requires the int8 A-block lane dim (= band width) to be
+        # a multiple of the 128-lane tile on real TPUs (verified: width
+        # 64 fails compilation; CPU interpret mode accepts anything) —
+        # round configured widths up
+        band_widths = tuple(sorted({
+            max(128, -(-int(w) // 128) * 128) for w in band_widths
+        }))
     if any(int(w) % 16 for w in band_widths):
         # band starts (incl. the padded-layout clamp num_sw*band_h - W)
         # must stay 16-aligned: the kernels assert that to Mosaic via
@@ -414,8 +422,11 @@ def build_plan(
         raise ValueError("caps.band_supers length must match band_widths")
     if band_widths:
         # even zero-real (capacity-padded) buckets DMA a dummy band from
-        # row 0, so X must always cover the widest bucket
-        xp_rows = max(xp_rows, int(band_widths[-1]))
+        # row 0, so X must always cover the widest bucket (auto mode
+        # defers this until widths resolve from extents — the 256
+        # placeholder would inflate xp_rows on tiny graphs)
+        if not auto_width:
+            xp_rows = max(xp_rows, int(band_widths[-1]))
         sw_row0 = np.minimum(np.arange(num_sw, dtype=np.int64) * bh, n)
         sw_row1 = np.minimum(sw_row0 + bh, n)
         e_start = rp64[sw_row0]

@@ -99,7 +99,14 @@ class SAG:
         x = jnp.asarray(x)
         if method == "chained":
             avg_ms = chained_apply_time(self.spmm, x) * 1e3
-            out = self._jitted(x)
+            # produce `out` with plan arrays threaded as jit ARGUMENTS:
+            # jitting __call__ would bake them in as closure constants
+            # (minutes of compile at scale — ops.spmm.make_spmm)
+            arrays = getattr(self.spmm, "arrays", None)
+            if arrays is not None:
+                out = jax.jit(lambda a, v: self.spmm.apply(a, v))(arrays, x)
+            else:
+                out = self._jitted(x)
         else:
             out = self._jitted(x)
             for _ in range(max(warmup - 1, 0)):

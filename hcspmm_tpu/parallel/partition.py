@@ -108,7 +108,15 @@ def build_sharded_plan(
     rows_per = n_padded // num_shards
 
     # Pass 1: per-shard plans (column space = padded global for allgather).
+    # window analyses are cached across the probe and caps passes — the
+    # per-shard analysis is the dominant plan-build cost and is
+    # independent of caps (keyed by remap identity, since halo remapping
+    # rewrites the column ids the analysis sorts)
+    _analysis_cache: Dict = {}
+
     def shard_plans(num_cols_fn, remap_fn=None, caps=PlanCaps()):
+        from hcspmm_tpu.format.windows import analyze_windows
+
         plans = []
         for s in range(num_shards):
             lo = min(s * rows_per, num_nodes)
@@ -116,8 +124,17 @@ def build_sharded_plan(
             lrp, lci = _slice_csr(rp, ci, lo, hi, rows_per)
             if remap_fn is not None:
                 lci = remap_fn(s, lci)
+            key = (id(remap_fn), s)
+            wa = _analysis_cache.get(key)
+            if wa is None:
+                wa = analyze_windows(
+                    lrp, lci, rows_per, window_h=config.window_h,
+                    loi_mode=config.loi_mode, loi_coeffs=config.loi,
+                    num_cols=num_cols_fn(s),
+                )
+                _analysis_cache[key] = wa
             plans.append(
-                build_plan(lrp, lci, rows_per, config,
+                build_plan(lrp, lci, rows_per, config, analysis=wa,
                            num_cols=num_cols_fn(s), caps=caps)
             )
         return plans

@@ -36,6 +36,10 @@ def save_pytree(path: str, tree, metadata: dict | None = None) -> None:
 
 
 def load_pytree(path: str) -> Tuple[Any, dict]:
+    if not os.path.exists(path) and os.path.exists(path + ".npz"):
+        # np.savez appends .npz; accept the suffix-less name the CLI's
+        # --checkpoint flag recorded
+        path = path + ".npz"
     data = np.load(path, allow_pickle=False)
     skeleton = json.loads(str(data["__treedef__"]))
     meta = json.loads(str(data["__meta__"]))
