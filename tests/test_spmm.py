@@ -201,3 +201,23 @@ def test_expand_row_bits_roundtrip():
     packed = np.packbits(a.astype(np.uint8), axis=1, bitorder="little")
     out = np.asarray(_expand_row_bits(jnp.asarray(packed), 32))
     np.testing.assert_array_equal(out, a)
+
+
+def test_int4_band_arrays_watch():
+    """a_dtype='int4' halves A traffic but any consumption of an int4
+    device array currently raises 'Recursively calling jit' in the axon
+    plugin.  This test auto-skips on the known failure and will START
+    PASSING when a runtime upgrade fixes it — flip the default then."""
+    from conftest import small_graph
+
+    rp, ci, nn = small_graph(64, 4)
+    try:
+        op = HybridSpMM(rp, ci, nn, PlanConfig(
+            impl="pallas", a_dtype="int4"))
+        x = np.random.RandomState(0).randn(nn, 8).astype(np.float32)
+        z = np.asarray(jax.jit(op)(x))
+    except Exception as e:  # noqa: BLE001
+        pytest.skip(f"int4 still broken in this runtime: {type(e).__name__}")
+    zref = spmm_reference_dense(rp, ci, nn, x)
+    scale = np.abs(zref).max() + 1e-9
+    assert np.abs(z - zref).max() / scale < 1e-4
