@@ -56,3 +56,45 @@ class GINConv:
 
     def __call__(self, params, spmm: Callable, x: jnp.ndarray) -> jnp.ndarray:
         return fused.aggregate_then_update(spmm, x, params["weights"])
+
+
+def init_sage_params(
+    rng: jax.Array, input_dim: int, output_dim: int, init: str = "randn"
+) -> dict:
+    k1, k2 = jax.random.split(rng)
+    return {
+        "w_self": init_conv_params(k1, input_dim, output_dim, init)["weights"],
+        "w_neigh": init_conv_params(k2, input_dim, output_dim, init)["weights"],
+    }
+
+
+class SAGEConv:
+    """GraphSAGE-mean layer (extension; no reference equivalent):
+    ``Z = X W_self + mean_N(X) W_neigh`` with ``mean_N = D^-1 A X``
+    through the same hybrid SpMM kernels.  When the bound operator
+    exposes no degree information (plain callables in oracle tests),
+    falls back to the unweighted sum the reference's kernels compute."""
+
+    def __init__(self, fixed: int = FIXED_HIDDEN):
+        self.fixed = fixed
+
+    def __call__(self, params, spmm: Callable, x: jnp.ndarray) -> jnp.ndarray:
+        if hasattr(spmm, "mean"):
+            agg = spmm.mean(x)
+        else:
+            agg = spmm(x)
+
+        def w(name):
+            wm = params[name]
+            if x.shape[1] != wm.shape[0]:
+                # padded activation layout: zero-pad W rows to the padded
+                # feature width and cols to a lane multiple (zero rows/
+                # cols preserve the closed-layout zero invariant)
+                dpo = -(-wm.shape[1] // 128) * 128
+                wm = jnp.pad(wm, ((0, x.shape[1] - wm.shape[0]),
+                                  (0, dpo - wm.shape[1])))
+            return wm.astype(x.dtype)
+
+        hs = jnp.dot(x, w("w_self"), preferred_element_type=jnp.float32)
+        hn = jnp.dot(agg, w("w_neigh"), preferred_element_type=jnp.float32)
+        return (hs + hn).astype(x.dtype)

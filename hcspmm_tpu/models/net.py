@@ -21,7 +21,9 @@ from hcspmm_tpu.models.layers import (
     FIXED_HIDDEN,
     GCNConv,
     GINConv,
+    SAGEConv,
     init_conv_params,
+    init_sage_params,
 )
 
 
@@ -29,7 +31,7 @@ from hcspmm_tpu.models.layers import (
 class Net:
     """Static network description; parameters live in a separate pytree."""
 
-    model: str          # 'gcn' | 'gin'
+    model: str          # 'gcn' | 'gin' | 'sage'
     num_features: int
     hidden: int
     num_classes: int
@@ -44,13 +46,18 @@ class Net:
         return dims
 
     def conv(self, fixed: int):
-        return GCNConv(fixed) if self.model == "gcn" else GINConv(fixed)
+        if self.model == "gcn":
+            return GCNConv(fixed)
+        if self.model == "sage":
+            return SAGEConv(fixed)
+        return GINConv(fixed)
 
 
 def init_net_params(net: Net, rng: jax.Array, init: str = "randn") -> List[Dict]:
     keys = jax.random.split(rng, len(net.layer_dims()))
+    make = init_sage_params if net.model == "sage" else init_conv_params
     return [
-        init_conv_params(k, din, dout, init)
+        make(k, din, dout, init)
         for k, (din, dout, _) in zip(keys, net.layer_dims())
     ]
 

@@ -429,8 +429,12 @@ class HybridSpMM:
         #: pytree of plan arrays — thread this through YOUR jit boundary
         #: (see make_spmm docstring) and call ``apply(arrays, x)``
         self.arrays = {"f": arrs_f, "b": arrs_b}
+        deg = np.maximum(np.diff(np.asarray(row_pointers)), 1)
+        #: 1/deg — mean aggregation (GraphSAGE mean_N = D^-1 A X)
+        self.arrays["inv_deg"] = jnp.asarray(
+            1.0 / deg.astype(np.float32)
+        )
         if normalize:
-            deg = np.maximum(np.diff(np.asarray(row_pointers)), 1)
             self.arrays["inv_sqrt_deg"] = jnp.asarray(
                 1.0 / np.sqrt(deg.astype(np.float32))
             )
@@ -480,6 +484,24 @@ class HybridSpMM:
         n = self.plan.num_nodes
         out = self._fn(arrays["f"], arrays["b"], xp[:n])
         return jnp.pad(out.astype(xp.dtype), ((0, xp.shape[0] - n), (0, 0)))
+
+    def mean_apply(self, arrays, x: jnp.ndarray) -> jnp.ndarray:
+        """Mean aggregation ``D^-1 A X`` (GraphSAGE's mean_N).  Uses the
+        raw aggregate regardless of ``normalize`` (SAGE's own scaling)."""
+        agg = self._fn(arrays["f"], arrays["b"], x)
+        return (agg * arrays["inv_deg"][:, None]).astype(x.dtype)
+
+    def mean_apply_padded(self, arrays, xp: jnp.ndarray) -> jnp.ndarray:
+        """Mean aggregation in the closed padded layout (padded rows have
+        inv_deg == 1, so they stay exactly zero)."""
+        inv = jnp.pad(
+            arrays["inv_deg"], (0, xp.shape[0] - arrays["inv_deg"].shape[0]),
+            constant_values=1.0,
+        )[:, None]
+        return (self._padded_core(arrays, xp) * inv).astype(xp.dtype)
+
+    def mean(self, x: jnp.ndarray) -> jnp.ndarray:
+        return self.mean_apply(self.arrays, x)
 
     def apply(self, arrays, x: jnp.ndarray) -> jnp.ndarray:
         """Jit-friendly form: plan arrays as traced arguments."""

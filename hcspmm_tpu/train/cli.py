@@ -35,7 +35,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--hidden", type=int, default=32, help="hidden dimension")
     p.add_argument("--classes", type=int, default=22, help="number of output classes")
     p.add_argument("--epochs", type=int, default=200, help="number of epoches")
-    p.add_argument("--model", type=str, default="gcn", choices=["gcn", "gin"])
+    p.add_argument("--model", type=str, default="gcn", choices=["gcn", "gin", "sage"])
     p.add_argument("--single_kernel", action="store_true",
                    help="whether to profile a single SAG kernel")
     # TPU-native extensions

@@ -84,6 +84,13 @@ def make_train_step(
                                ).astype(agg.dtype)
             return spmm.gin_apply(self._arrs, x, w)
 
+        def mean(self, x):
+            if padded and hasattr(spmm, "mean_apply_padded"):
+                return spmm.mean_apply_padded(self._arrs, x)
+            if hasattr(spmm, "mean_apply"):
+                return spmm.mean_apply(self._arrs, x)
+            return self(x)  # sum fallback for degree-less operators
+
     def make_bound(arrs):
         if arrays is None:
             return spmm  # plain callable

@@ -216,3 +216,47 @@ def test_padded_training_matches_unpadded():
         res_u = train(net, op_u, x, y, epochs=4, warmup_epochs=0, seed=1)
         np.testing.assert_allclose(res_p["final_loss"], res_u["final_loss"],
                                    rtol=1e-3, atol=1e-4)
+
+
+def dense_sage_forward(net, params, a, x):
+    """Dense oracle for the SAGE extension: mean aggregator."""
+    deg = np.maximum(np.asarray(a).sum(1, keepdims=True), 1)
+    h = x
+    for i, (_, _, fixed) in enumerate(net.layer_dims()):
+        agg = (a @ h) / deg
+        h = h @ params[i]["w_self"] + agg @ params[i]["w_neigh"]
+        if fixed != 2:
+            h = jax.nn.relu(h)
+    return jax.nn.log_softmax(h, axis=-1)
+
+
+def test_sage_forward_matches_dense():
+    net, params, op, a, x = setup("sage")
+    got = net_forward(net, params, op, x, train=False)
+    want = dense_sage_forward(net, params, np.asarray(a), np.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_sage_padded_training_matches_unpadded():
+    from hcspmm_tpu.graphs import io
+    from hcspmm_tpu.format import reorder as _ro
+
+    src, dst, nn = io.synthetic_blocks(256, 4, 32, seed=3)
+    rp, ci = io.to_csr(src, dst, nn)
+    perm = _ro.rcm_reorder(rp, ci, nn)
+    rp, ci = _ro.apply_permutation(rp, ci, nn, perm)
+    cfg = PlanConfig(impl="pallas", band_mode="always", band_h=32,
+                     band_widths=(128,))
+    op_p = HybridSpMM(rp, ci, nn, cfg)
+    assert op_p.supports_padded
+    op_u = HybridSpMM(rp, ci, nn, PlanConfig(impl="pallas",
+                                             band_mode="never"))
+    x = np.random.RandomState(0).randn(nn, 12).astype(np.float32)
+    y = np.ones(nn, dtype=np.int32)
+    net = Net(model="sage", num_features=12, hidden=8, num_classes=5,
+              num_layers=3, dropout=0.0)
+    res_p = train(net, op_p, x, y, epochs=4, warmup_epochs=0, seed=1)
+    res_u = train(net, op_u, x, y, epochs=4, warmup_epochs=0, seed=1)
+    np.testing.assert_allclose(res_p["final_loss"], res_u["final_loss"],
+                               rtol=1e-3, atol=1e-4)
