@@ -737,6 +737,31 @@ def spmm_pallas_padded(arrs, xp, plan, compute_dtype):
     return buf.reshape(m, dp)
 
 
+def spmm_fused_pallas_padded(arrs, xp, wp, plan):
+    """Fused ``(agg = A @ Xp, out = agg @ Wp)`` in the closed padded
+    layout (xp: [M, dp], wp: [dp, hp], both lane-padded) — the aggregate
+    never round-trips HBM between the two matmuls.  Single-bucket
+    full-coverage wide plans only; returns None otherwise (callers
+    compose with the padded SpMM)."""
+    if getattr(plan, "tiled", False) or not plan.band_padded_ok:
+        return None
+    num_sw = plan.padded_rows // plan.band_h
+    nonempty = [s for s in range(len(plan.band_widths))
+                if arrs[f"band{s}_start"].shape[0] > 0]
+    if len(nonempty) != 1 or len(plan.band_sw_ids[nonempty[0]]) != num_sw:
+        return None
+    s = nonempty[0]
+    agg, out = band_fused_spmm_direct(
+        arrs[f"band{s}_sw"], arrs[f"band{s}_start"], arrs[f"band{s}_a"],
+        xp, wp, num_sw, xp.dtype,
+    )
+    m = num_sw * plan.band_h
+    return (
+        out[:num_sw].reshape(m, wp.shape[1]),
+        agg[:num_sw].reshape(m, xp.shape[1]),
+    )
+
+
 def spmm_pallas(arrs, x, plan, compute_dtype):
     """Drop-in for ops.spmm._spmm_xla with Pallas hot paths."""
     # output rows = plan.num_nodes; x carries plan.num_cols(+pad) rows on

@@ -236,6 +236,92 @@ def make_spmm_padded(
     return spmm_p
 
 
+def _pad_w_lane(w, dpin, cd):
+    """Zero-pad a weight matrix into the padded layout's lane space."""
+    dpo = -(-w.shape[1] // 128) * 128
+    return jnp.pad(w.astype(cd),
+                   ((0, dpin - w.shape[0]), (0, dpo - w.shape[1])))
+
+
+def make_fused_ops_padded(
+    plan: ExecutionPlan,
+    plan_bwd: Optional[ExecutionPlan] = None,
+    compute_dtype: str = "float32",
+):
+    """Differentiable fused GCN/GIN layer cores over the closed padded
+    layout: the aggregate stays in VMEM between the two matmuls
+    (kernels.block_spmm.spmm_fused_pallas_padded), and GCN's backward is
+    the fused (A dZ) W^T + A dZ single launch — the reference's Table VI
+    win, padded-layout edition.  Weights stay UNPADDED in the params
+    pytree (padding happens inside; gradients are sliced back exactly —
+    zero-padded activation rows/cols contribute zero).  Returns None
+    when the plan lacks the padded fast path."""
+    from hcspmm_tpu.kernels.block_spmm import (
+        spmm_fused_pallas_padded, spmm_padded_supported, spmm_pallas_padded)
+
+    pb = plan if plan_bwd is None else plan_bwd
+    if not (spmm_padded_supported(plan) and spmm_padded_supported(pb)
+            and pb.padded_rows == plan.padded_rows):
+        return None
+    cd = _dtype(compute_dtype)
+
+    def fused(p, arrs, xp, wp):
+        res = spmm_fused_pallas_padded(arrs, xp, wp, p)
+        if res is not None:
+            return res
+        agg = spmm_pallas_padded(arrs, xp, p, cd)
+        out = jnp.dot(agg, wp, preferred_element_type=jnp.float32
+                      ).astype(xp.dtype)
+        return out, agg
+
+    @jax.custom_vjp
+    def gcn_p(arrs_f, arrs_b, xp, w):
+        xw = jnp.dot(xp, _pad_w_lane(w, xp.shape[1], xp.dtype),
+                     preferred_element_type=jnp.float32).astype(xp.dtype)
+        return spmm_pallas_padded(arrs_f, xw, plan, cd)
+
+    def gcn_fwd(arrs_f, arrs_b, xp, w):
+        return gcn_p(arrs_f, arrs_b, xp, w), (arrs_f, arrs_b, xp, w)
+
+    def gcn_bwd(res, g):
+        arrs_f, arrs_b, xp, w = res
+        wp = _pad_w_lane(w, xp.shape[1], g.dtype)
+        # fused backward: one kernel computes dX = (A dZ) W^T AND the
+        # A dZ residual for dW
+        dx, adz = fused(pb, arrs_b, g, wp.T)
+        dw = jnp.dot(xp.T, adz, preferred_element_type=jnp.float32
+                     )[: w.shape[0], : w.shape[1]].astype(w.dtype)
+        return (_float0_zeros(arrs_f), _float0_zeros(arrs_b),
+                dx.astype(xp.dtype), dw)
+
+    gcn_p.defvjp(gcn_fwd, gcn_bwd)
+
+    @jax.custom_vjp
+    def gin_p(arrs_f, arrs_b, xp, w):
+        out, _ = fused(plan, arrs_f, xp,
+                       _pad_w_lane(w, xp.shape[1], xp.dtype))
+        return out
+
+    def gin_fwd(arrs_f, arrs_b, xp, w):
+        out, agg = fused(plan, arrs_f, xp,
+                         _pad_w_lane(w, xp.shape[1], xp.dtype))
+        return out, (arrs_f, arrs_b, w, agg)
+
+    def gin_bwd(res, g):
+        arrs_f, arrs_b, w, agg = res
+        wp = _pad_w_lane(w, agg.shape[1], g.dtype)
+        dagg = jnp.dot(g, wp.T, preferred_element_type=jnp.float32
+                       ).astype(g.dtype)
+        dx = spmm_pallas_padded(arrs_b, dagg, pb, cd)
+        dw = jnp.dot(agg.T, g, preferred_element_type=jnp.float32
+                     )[: w.shape[0], : w.shape[1]].astype(w.dtype)
+        return (_float0_zeros(arrs_f), _float0_zeros(arrs_b),
+                dx.astype(g.dtype), dw)
+
+    gin_p.defvjp(gin_fwd, gin_bwd)
+    return {"gcn": gcn_p, "gin": gin_p}
+
+
 def _build_impls(plan, pb, cd, impl):
     if impl == "pallas":
         from hcspmm_tpu.kernels.block_spmm import spmm_pallas
@@ -397,6 +483,11 @@ class HybridSpMM:
                              compute_dtype=config.compute_dtype)
             if config.impl == "pallas" else None
         )
+        self._fused_padded = (
+            make_fused_ops_padded(self.plan, self.plan_bwd,
+                                  compute_dtype=config.compute_dtype)
+            if config.impl == "pallas" else None
+        )
         def to_device(plan):
             # Plans carry band A as compact edge triples; densify on host,
             # then upload the binary blocks BIT-PACKED along the row axis
@@ -484,6 +575,26 @@ class HybridSpMM:
         n = self.plan.num_nodes
         out = self._fn(arrays["f"], arrays["b"], xp[:n])
         return jnp.pad(out.astype(xp.dtype), ((0, xp.shape[0] - n), (0, 0)))
+
+    def gcn_apply_padded(self, arrays, xp: jnp.ndarray,
+                         w: jnp.ndarray) -> jnp.ndarray:
+        """Fused GCN layer core A (Xp W) in the padded layout (fused
+        backward: one kernel for (A dZ) W^T and A dZ).  Composes through
+        ``apply_padded`` in normalized mode or when unsupported."""
+        if self._fused_padded is not None and "inv_sqrt_deg" not in arrays:
+            return self._fused_padded["gcn"](arrays["f"], arrays["b"], xp, w)
+        xw = jnp.dot(xp, _pad_w_lane(w, xp.shape[1], xp.dtype),
+                     preferred_element_type=jnp.float32).astype(xp.dtype)
+        return self.apply_padded(arrays, xw)
+
+    def gin_apply_padded(self, arrays, xp: jnp.ndarray,
+                         w: jnp.ndarray) -> jnp.ndarray:
+        """Fused GIN layer core (A Xp) W in the padded layout."""
+        if self._fused_padded is not None and "inv_sqrt_deg" not in arrays:
+            return self._fused_padded["gin"](arrays["f"], arrays["b"], xp, w)
+        agg = self.apply_padded(arrays, xp)
+        return jnp.dot(agg, _pad_w_lane(w, agg.shape[1], agg.dtype),
+                       preferred_element_type=jnp.float32).astype(agg.dtype)
 
     def mean_apply(self, arrays, x: jnp.ndarray) -> jnp.ndarray:
         """Mean aggregation ``D^-1 A X`` (GraphSAGE's mean_N).  Uses the

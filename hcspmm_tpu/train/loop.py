@@ -53,10 +53,6 @@ def make_train_step(
     # only the final logits are sliced before the softmax.
     padded = bool(getattr(spmm, "supports_padded", False))
 
-    def _pad_w(w, dpin):
-        dpout = -(-w.shape[1] // 128) * 128
-        return jnp.pad(w, ((0, dpin - w.shape[0]), (0, dpout - w.shape[1])))
-
     class _Bound:
         """spmm closure carrying the threaded arrays + fused layer forms."""
 
@@ -70,18 +66,12 @@ def make_train_step(
 
         def gcn_fused(self, x, w):
             if padded:
-                xw = jnp.dot(x, _pad_w(w, x.shape[1]).astype(x.dtype),
-                             preferred_element_type=jnp.float32
-                             ).astype(x.dtype)
-                return spmm.apply_padded(self._arrs, xw)
+                return spmm.gcn_apply_padded(self._arrs, x, w)
             return spmm.gcn_apply(self._arrs, x, w)
 
         def gin_fused(self, x, w):
             if padded:
-                agg = spmm.apply_padded(self._arrs, x)
-                return jnp.dot(agg, _pad_w(w, agg.shape[1]).astype(agg.dtype),
-                               preferred_element_type=jnp.float32
-                               ).astype(agg.dtype)
+                return spmm.gin_apply_padded(self._arrs, x, w)
             return spmm.gin_apply(self._arrs, x, w)
 
         def mean(self, x):
