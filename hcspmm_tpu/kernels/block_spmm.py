@@ -134,7 +134,7 @@ def dense_bucket_spmm(cols, a, xp, *, window_h: int, group: int = 8,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((group, wh, kb), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((group, wh, d), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -180,7 +180,7 @@ def ell_bucket_spmm(cols, xp, *, rows_per_step: int = 0, lookahead: int = 16):
         grid=(rbp // r,),
         in_specs=[
             pl.BlockSpec((r, de), lambda i: (i, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((r, d), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
@@ -299,8 +299,8 @@ def band_bucket_spmm(starts, a, xp):
         num_scalar_prefetch=1,
         grid=(sb,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, bh, d), lambda i, s_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -382,7 +382,7 @@ def band_bucket_spmm_grouped(starts, a, xp, num_sw, out_dtype,
         in_specs=[
             pl.BlockSpec((group, bh, bb), lambda i, s_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((group, bh, d), lambda i, s_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -428,8 +428,8 @@ def band_bucket_spmm_direct(sw_ids, starts, a, xp, num_sw, out_dtype,
         num_scalar_prefetch=2,
         grid=(sb,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, bh, d), lambda i, s_, w_: (w_[i], 0, 0),
                                memory_space=pltpu.VMEM),
@@ -556,8 +556,8 @@ def band_tiled_spmm(arrs, xp, plan, out_dtype):
         num_scalar_prefetch=6,  # tile, super, fetch, late, first, last
         grid=(p_total,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (1, bh, dp),
@@ -617,8 +617,8 @@ def band_fused_spmm_direct(sw_ids, starts, a, xp, w, num_sw, out_dtype):
         num_scalar_prefetch=2,
         grid=(sb,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),   # W resident
         ],
         out_specs=(

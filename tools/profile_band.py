@@ -154,8 +154,8 @@ def main() -> int:
         if mode == "deep":
             gs = pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1, grid=(sb,),
-                in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
-                          pl.BlockSpec(memory_space=pltpu.ANY)],
+                in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                          pl.BlockSpec(memory_space=pl.ANY)],
                 out_specs=pl.BlockSpec((1, bh, args.dim),
                                        lambda i, s_: (i, 0, 0),
                                        memory_space=pltpu.VMEM),
@@ -174,7 +174,7 @@ def main() -> int:
             num_scalar_prefetch=1, grid=(sb,),
             in_specs=[pl.BlockSpec((1, bh, bb), lambda i, s_: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
-                      pl.BlockSpec(memory_space=pltpu.ANY)],
+                      pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec((1, bh, args.dim),
                                    lambda i, s_: (i, 0, 0),
                                    memory_space=pltpu.VMEM),

@@ -136,8 +136,8 @@ def main() -> int:
         gs = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=6,
             grid=(p_total,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
-                      pl.BlockSpec(memory_space=pltpu.ANY)],
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec(
                 (1, bh, args.dim),
                 lambda i, t_, s_, f_, l_, fi_, la_: (s_[i], 0, 0),
