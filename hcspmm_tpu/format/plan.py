@@ -453,6 +453,16 @@ def build_plan(
             ne_ext = extent[nonempty]
             if len(ne_ext):
                 r128 = lambda v: max(128, -(-int(v) // 128) * 128)
+                # VMEM cap: the deep pipeline holds L A-blocks + L X
+                # bands in scratch (kernels.block_spmm); beyond ~2048
+                # that blows the 16 MB VMEM budget (observed: a long-
+                # tail graph resolved W=19200 and OOM'd on hardware).
+                # Wider superwindows simply don't fit a bucket and route
+                # to the gather paths, as the pre-auto ladder did.
+                W_CAP = 2048
+                ne_ext = ne_ext[ne_ext <= W_CAP]
+                if not len(ne_ext):
+                    ne_ext = np.array([W_CAP], dtype=np.int64)
                 w_max = r128(ne_ext.max())
                 # Two-bucket split only when it cuts band bytes >=25%
                 # (A + X band both scale with width): the multi-bucket

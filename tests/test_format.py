@@ -136,3 +136,18 @@ def test_native_analyzer_matches_numpy():
     np.testing.assert_array_equal(a.unique_counts, b.unique_counts)
     np.testing.assert_array_equal(a.edge_to_column, b.edge_to_column)
     np.testing.assert_array_equal(a.hybrid_type, b.hybrid_type)
+
+
+def test_auto_band_width_vmem_cap():
+    """Long-tail extent distributions must not resolve giant band widths
+    (regression: a 20k-node graph with global edges resolved W=19200 and
+    blew the 16 MB VMEM scratch budget on hardware)."""
+    from hcspmm_tpu.config import PlanConfig
+    from hcspmm_tpu.format.plan import build_plan
+    from hcspmm_tpu.graphs import io
+
+    src, dst, nn = io.synthetic_graph(20000, 8.0, seed=0, span=16,
+                                      locality=0.7)
+    rp, ci = io.to_csr(src, dst, nn)
+    plan = build_plan(rp, ci, nn, PlanConfig(impl="pallas", band_h=256))
+    assert all(w <= 2048 for w in plan.band_widths), plan.band_widths
