@@ -139,6 +139,12 @@ def main() -> int:
         "value": round(gnnz, 4),
         "unit": "Gnnz/s",
         "vs_baseline": round(gnnz / baseline_gnnz, 4),
+        # vs_baseline caveat: the denominator is the reference's measured
+        # number on the REAL DD dataset on an RTX 3090 at dim=32 (the SAG
+        # profile runs forward_fixed32); the numerator is this TPU chip on
+        # a DD-matched synthetic stand-in at the dim above.  Cross-hardware,
+        # cross-dim, stand-in graph — a north-star ratio, not like-for-like.
+        "baseline_ref": "DD@dim32 RTX3090 (Table XVI), stand-in graph",
     }
     plan = op.plan
     # roofline: bytes each population must move (A blocks + X + output)

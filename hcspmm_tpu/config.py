@@ -138,7 +138,11 @@ class PlanConfig:
     # | 'all_sparse'.  'degenerate' reproduces the reference's live line
     # (hybrid_all_kernel.cu:262, missing `> 0`) for bit-parity experiments.
     loi_mode: str = "intended"
-    loi: LOICoefficients = dataclasses.field(default_factory=LOICoefficients)
+    # None = unset (the ONLY sentinel): 'calibrated' mode then picks the
+    # hardware-refit LOI_TPU_V5E, other modes the reference GPU values.
+    # An explicit LOICoefficients(...) — including the GPU defaults — is
+    # honored verbatim (format.windows.analyze_windows).
+    loi: Optional[LOICoefficients] = None
     # Compute dtype for gathered features / block matmuls.  fp32 matches the
     # reference's CUDA-core path; bf16 halves gather bandwidth (the TPU
     # bottleneck) at TF32-class tolerance (report Table VII ran half/bf16).

@@ -27,8 +27,8 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-_SRC = os.path.join(_REPO_ROOT, "native", "loa.cpp")
+_PKG_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_SRC = os.path.join(_PKG_ROOT, "native", "loa.cpp")
 _LIB_CACHE: Optional[ctypes.CDLL] = None
 _LIB_FAILED = False
 

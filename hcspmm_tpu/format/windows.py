@@ -39,7 +39,7 @@ from hcspmm_tpu.config import BLK_H, BLK_W, LOICoefficients
 from hcspmm_tpu.format import loi
 
 _SRC = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "native", "preprocess.cpp",
 )
 _LIB_CACHE: Optional[ctypes.CDLL] = None
@@ -212,10 +212,10 @@ def analyze_windows(
 
     # 'calibrated' defaults to the coefficients refit on this hardware
     # (tools/calibrate_loi.py) unless the caller supplies custom ones;
-    # other modes default to the reference's GPU-fitted values.
-    if loi_coeffs is None or (
-        loi_mode == "calibrated" and loi_coeffs == LOICoefficients()
-    ):
+    # other modes default to the reference's GPU-fitted values.  None is
+    # the ONLY 'unset' sentinel — an explicitly passed LOICoefficients()
+    # (the reference GPU values) is honored verbatim.
+    if loi_coeffs is None:
         from hcspmm_tpu.config import LOI_TPU_V5E
 
         loi_coeffs = LOI_TPU_V5E if loi_mode == "calibrated" else LOICoefficients()

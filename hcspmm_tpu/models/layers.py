@@ -83,13 +83,18 @@ class SAGEConv:
             agg = spmm.mean(x)
         else:
             agg = spmm(x)
+        # The bound operator states whether activations are in the closed
+        # padded layout; shape inference cannot (input dims that are
+        # already 128-multiples would skip the lane padding and emit a
+        # non-lane-padded activation, which Mosaic rejects on real TPUs).
+        padded = bool(getattr(spmm, "padded_layout", False))
 
         def w(name):
             wm = params[name]
-            if x.shape[1] != wm.shape[0]:
-                # padded activation layout: zero-pad W rows to the padded
-                # feature width and cols to a lane multiple (zero rows/
-                # cols preserve the closed-layout zero invariant)
+            if padded:
+                # zero-pad W rows to the padded feature width and cols to
+                # a lane multiple (zero rows/cols preserve the closed
+                # layout's zero invariant)
                 dpo = -(-wm.shape[1] // 128) * 128
                 wm = jnp.pad(wm, ((0, x.shape[1] - wm.shape[0]),
                                   (0, dpo - wm.shape[1])))

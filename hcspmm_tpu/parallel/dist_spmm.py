@@ -129,8 +129,9 @@ def make_dist_spmm(
             in_specs=(jax.tree.map(lambda _: P(axis), stacked), P(axis)),
             out_specs=P(axis),
             # pallas_call emits vma-less ShapeDtypeStructs; the varying-
-            # across-mesh check cannot see through it
-            check_vma=False,
+            # across-mesh check cannot see through it.  The pure-XLA impl
+            # keeps the check on.
+            check_vma=(sharded.impl != "pallas"),
         )
 
         def run(arrays, x):
@@ -142,7 +143,7 @@ def make_dist_spmm(
             body, mesh=mesh,
             in_specs=(jax.tree.map(lambda _: P(axis), stacked), P(axis), P(axis)),
             out_specs=P(axis),
-            check_vma=False,
+            check_vma=(sharded.impl != "pallas"),
         )
 
         def run(arrays, x):

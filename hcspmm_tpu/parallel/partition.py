@@ -171,6 +171,11 @@ def build_sharded_plan(
         hb = int(max(config.band_widths)) if config.band_widths else 0
         if hb <= 0:
             raise ValueError("band_halo requires band_widths")
+        if config.impl == "pallas":
+            # derive the strip from the same rounding rule build_plan
+            # applies to pallas band widths (lane-128 minimum), so the
+            # halo always covers the widest bucket the plans can resolve
+            hb = max(128, -(-hb // 128) * 128)
         if hb > rows_per:
             raise ValueError(
                 f"band_halo strip ({hb}) exceeds rows per shard "
@@ -198,6 +203,9 @@ def build_sharded_plan(
         local_cols = rows_per + 2 * hb
         probe = shard_plans(lambda s: local_cols, remap_band)
         plans = shard_plans(lambda s: local_cols, remap_band, caps_of(probe))
+        assert all(max(p.band_widths, default=0) <= hb for p in plans), (
+            "plan band widths exceed the halo strip; rounding rules of "
+            "build_plan and band_halo diverged")
     elif mode == "halo":
         # Needed remote rows per (requester i, owner j != i).
         need: List[List[np.ndarray]] = []

@@ -56,6 +56,8 @@ def make_train_step(
     class _Bound:
         """spmm closure carrying the threaded arrays + fused layer forms."""
 
+        padded_layout = padded  # layers consult this (models.layers.SAGEConv)
+
         def __init__(self, arrs):
             self._arrs = arrs
 
@@ -121,9 +123,16 @@ def train(
     warmup_epochs: int = 9,
     logger: Optional[MetricLogger] = None,
     init_params: Optional[List[Dict]] = None,
+    scan_chunk: int = 10,
 ) -> Dict:
     """Runs warm-up + timed epochs; returns params and timing stats.
-    ``init_params`` resumes from a checkpoint instead of fresh init."""
+    ``init_params`` resumes from a checkpoint instead of fresh init.
+
+    ``scan_chunk > 1`` runs epochs in lax.scan chains of that length (one
+    dispatch per chunk): per-epoch host dispatch costs ~35 ms RTT on a
+    tunneled device, which at small-graph scale dwarfs the epoch itself
+    and silently inflates ``epoch_ms``.  ``scan_chunk=1`` restores the
+    reference's literal epoch-per-call loop (HC-SpMM_main.py:157-166)."""
     x = jnp.asarray(x)
     if getattr(spmm, "supports_padded", False):
         x = spmm.pad_input(x)  # one-time layout conversion (train/loop
@@ -135,21 +144,63 @@ def train(
     optimizer = optax.adam(lr)
     opt_state = optimizer.init(params)
     step = make_train_step(net, spmm, optimizer)
+    arrays = step.arrays
+    inner = step.step_with_arrays
 
-    # Dry-run epochs (main.py:157-159) double as jit warm-up.
-    for _ in range(warmup_epochs):
-        rng, sub = jax.random.split(rng)
-        params, opt_state, loss = step(params, opt_state, x, y, sub)
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def run_chunk(n, params, opt_state, arrs, x, y, rng):
+        def body(carry, _):
+            params, opt_state, rng = carry
+            rng, sub = jax.random.split(rng)
+            params, opt_state, loss = inner(params, opt_state, arrs, x, y, sub)
+            return (params, opt_state, rng), loss
+
+        (params, opt_state, rng), losses = jax.lax.scan(
+            body, (params, opt_state, rng), None, length=n
+        )
+        return params, opt_state, rng, losses
+
+    scan_chunk = max(1, min(scan_chunk, max(epochs, 1)))
+
+    # Exactly two compiled programs regardless of epoch counts (every
+    # distinct scan length is a separate XLA program, and compiles cost
+    # 30-120 s over a tunneled device): full chunks of ``scan_chunk`` via
+    # run_chunk, everything else (warm-up epochs, the tail) through the
+    # per-epoch step.
+    def run_epochs(n, params, opt_state, rng, collect=None):
+        done = 0
+        while done < n:
+            if scan_chunk > 1 and n - done >= scan_chunk:
+                params, opt_state, rng, losses_c = run_chunk(
+                    scan_chunk, params, opt_state, arrays, x, y, rng
+                )
+                last, c = losses_c[-1], scan_chunk
+            else:
+                rng, sub = jax.random.split(rng)
+                params, opt_state, last = step(params, opt_state, x, y, sub)
+                c = 1
+            done += c
+            if collect is not None:
+                collect.append(last)
+                if logger is not None:
+                    logger.log(epoch=done - 1, loss=float(last))
+        return params, opt_state, rng
+
+    # Dry-run epochs (main.py:157-159) double as jit warm-up; one extra
+    # chunk warms the scan program so no compile lands in the timed loop.
+    params, opt_state, rng = run_epochs(warmup_epochs, params, opt_state, rng)
+    if scan_chunk > 1 and epochs >= scan_chunk:
+        params, opt_state, rng, _ = run_chunk(
+            scan_chunk, params, opt_state, arrays, x, y, rng
+        )
     jax.block_until_ready(params)
 
     start = time.perf_counter()
-    losses = []
-    for epoch in range(epochs):
-        rng, sub = jax.random.split(rng)
-        params, opt_state, loss = step(params, opt_state, x, y, sub)
-        losses.append(loss)
-        if logger is not None and (epoch % 10 == 0 or epoch == epochs - 1):
-            logger.log(epoch=epoch, loss=float(loss))
+    losses: List = []
+    params, opt_state, rng = run_epochs(epochs, params, opt_state, rng,
+                                        collect=losses)
     jax.block_until_ready(params)
     total = time.perf_counter() - start
 
