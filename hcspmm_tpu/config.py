@@ -125,6 +125,19 @@ class PlanConfig:
     band_impl: str = "wide"
     # X-tile ring slots for band_impl='tiled' (VMEM: slots * 128 * dp * 2B)
     band_tile_slots: int = 16
+    # ---- band+spill: robust band windows on non-bandable graphs ----
+    # 'auto': a superwindow whose full column extent exceeds the band
+    # width gets the width-window *placed* where it covers the most
+    # edges; the uncovered edges SPILL to a segment-sum gather population
+    # added onto the band output.  This is what makes the band path carry
+    # power-law / community graphs (hub and inter-community edges spill,
+    # the local mass streams) instead of all-or-nothing extent selection.
+    # 'never' restores strict full-extent selection (round-1 behavior).
+    band_spill: str = "auto"
+    # Target edge-coverage quantile when resolving band widths from the
+    # per-superwindow *robust* extent (minimal window covering this
+    # fraction of the super's edges) instead of the full extent.
+    band_coverage: float = 0.95
     # Device dtype of the binary band blocks: 'int8' or 'int4'.  A-bytes
     # (N x band width) dominate band-path HBM traffic on low-degree
     # graphs; int4 halves them (values are {0,1}, so 4 bits are plenty).

@@ -86,6 +86,8 @@ class PlanCaps:
     band_supers: Tuple[int, ...] = ()      # per-band-bucket min superwindows
     num_sparse_rows: int = 0
     num_sparse_edges: int = 0
+    num_spill_rows: int = 0                # band+spill population (>=0 forces
+    num_spill_edges: int = 0               # the arrays to exist when 0 spill)
 
 
 @dataclasses.dataclass
@@ -120,6 +122,19 @@ class ExecutionPlan:
 
     # ---- merge ----
     out_perm: np.ndarray         # int32 [N] -> row in concat(buckets..., sparse, zero)
+
+    # ---- band+spill population (config.band_spill='auto') ----
+    # Edges of band-selected superwindows that fall OUTSIDE the placed
+    # band window: aggregated by a sorted segment-sum over spill rows and
+    # scatter-ADDED onto the (band) output — the additive residual that
+    # lets the band path carry power-law/community graphs (hub and
+    # inter-community edges spill; the local mass streams).  Row padding
+    # uses INT32_MAX so `.at[rows].add(..., mode='drop')` discards it.
+    num_spill_rows: int = 0      # Rp capacity (0 = population absent)
+    num_spill_edges: int = 0     # Ep capacity
+    spill_rows: Optional[np.ndarray] = None      # int32 [Rp] global row ids
+    spill_edge_col: Optional[np.ndarray] = None  # int32 [Ep], pad num_cols
+    spill_edge_seg: Optional[np.ndarray] = None  # int32 [Ep] -> pos (pad Rp)
 
     # ---- banded (MXU block-band) path: one entry per band-width bucket ----
     band_h: int = 16                          # superwindow height (rows)
@@ -168,8 +183,15 @@ class ExecutionPlan:
     dense_nnz: int = 0
     sparse_nnz: int = 0
     band_nnz: int = 0
+    spill_nnz: int = 0
     dense_gather_rows: int = 0   # sum Wb * Kb (inc. padding)
     unique_gather_rows: int = 0  # sum unique cols over dense windows
+
+    @property
+    def has_spill(self) -> bool:
+        """True when the additive spill population exists (impls must add
+        it onto the band/merge output; fused one-launch kernels bail)."""
+        return self.num_spill_edges > 0
 
     @property
     def num_dense_windows(self) -> int:
@@ -237,6 +259,10 @@ class ExecutionPlan:
             "sparse_edge_seg": self.sparse_edge_seg,
             "out_perm": self.out_perm,
         }
+        if self.has_spill:
+            d["spill_rows"] = self.spill_rows
+            d["spill_edge_col"] = self.spill_edge_col
+            d["spill_edge_seg"] = self.spill_edge_seg
         for b in range(len(self.bucket_widths)):
             d[f"b{b}_cols"] = self.bucket_cols[b]
             d[f"b{b}_a"] = self.bucket_a[b]
@@ -275,6 +301,59 @@ class ExecutionPlan:
                 self.band_starts[s].shape[0], num_sw,
             )
         return d
+
+
+# Key base for per-superwindow sorted column keys (sw * _BIG + col):
+# larger than any column id, so windows [start, start+w) never cross a
+# superwindow boundary in searchsorted space.
+_BIG = np.int64(1) << 33
+
+
+def _robust_widths(keys, e_start, e_end, ne, qs):
+    """Per-nonempty-superwindow minimal window width covering ceil(q*E_s)
+    edges, for each coverage quantile q in ``qs``.
+
+    ``keys``: int64 sorted ``sw*_BIG + col`` edge keys (grouped by super,
+    columns ascending within).  Returns int64 [len(qs), n_ne]."""
+    total = len(keys)
+    cols = keys % _BIG
+    ar = np.arange(total, dtype=np.int64)
+    starts_ne = e_start[ne]
+    ends_ne = e_end[ne]
+    cnt_s = ends_ne - starts_ne
+    seg_of = np.searchsorted(starts_ne, ar, side="right") - 1
+    out = np.empty((len(qs), len(starts_ne)), dtype=np.int64)
+    for qi, q in enumerate(qs):
+        k = np.maximum(np.ceil(q * cnt_s).astype(np.int64), 1)
+        idx2 = ar + k[seg_of] - 1
+        valid = idx2 < ends_ne[seg_of]
+        w = np.where(
+            valid,
+            cols[np.minimum(idx2, total - 1)] - cols + 1,
+            np.int64(1) << 40,
+        )
+        out[qi] = np.minimum.reduceat(w, starts_ne)
+    return out
+
+
+def _place_band_windows(keys, starts_ne, w):
+    """Best 16-aligned window of width ``w`` per nonempty superwindow:
+    the placement that covers the most edges (candidates = the aligned
+    start at-or-below each edge column).  Returns (covered edge count
+    [n_ne], chosen start column [n_ne])."""
+    total = len(keys)
+    ar = np.arange(total, dtype=np.int64)
+    cols = keys % _BIG
+    base = keys - cols
+    astart = (cols // 16) * 16
+    lo = np.searchsorted(keys, base + astart)
+    hi = np.searchsorted(keys, base + astart + w)
+    cnt = hi - lo
+    cov = np.maximum.reduceat(cnt, starts_ne)
+    seg_of = np.searchsorted(starts_ne, ar, side="right") - 1
+    best = np.where(cnt == cov[seg_of], ar, total)
+    bi = np.minimum.reduceat(best, starts_ne)
+    return cov, astart[bi]
 
 
 def _build_tiled_pairs(num_sw, bh, min_col, max_col, nonempty,
@@ -417,6 +496,7 @@ def build_plan(
     band_window_mask = np.zeros(wa.num_windows, dtype=bool)
     xp_rows = c + 1
     band_nnz = 0
+    spill_fields: dict = {}
     caps_s = caps.band_supers or (0,) * len(band_widths)
     if len(caps_s) != len(band_widths):
         raise ValueError("caps.band_supers length must match band_widths")
@@ -440,7 +520,106 @@ def build_plan(
             max_col[ne] = np.maximum.reduceat(column_index, e_start[ne])
         start = (min_col // 16) * 16  # sublane-aligned band start
         extent = max_col - start + 1
-        if auto_width:
+        sw_of_edge = wa.edge_to_row.astype(np.int64) // bh
+        E_sw = e_end - e_start
+
+        # gather-path cost per superwindow (one padded ELL slot per edge
+        # on the XLA take path) — shared by both selection modes below
+        ell_w = np.asarray(config.ell_widths, dtype=np.int64)
+        slot = np.where(
+            degrees > 0,
+            ell_w[np.minimum(np.searchsorted(ell_w, degrees), len(ell_w) - 1)],
+            0,
+        )
+        slot = np.where(degrees > ell_w[-1], degrees, slot)
+        slots_sw = np.add.reduceat(
+            np.concatenate([slot, [0]]), sw_row0
+        ) * (sw_row1 > sw_row0)
+        g_ns = config.gather_ns_per_row * 1e-9
+        sparse_cost = slots_sw * g_ns
+        dnom, xbytes = 128.0, 4.0
+        bw_s = config.stream_gbps * 1e9
+        if config.impl == "pallas":
+            r_up = lambda v: max(128, -(-int(v) // 128) * 128)
+        else:
+            r_up = lambda v: max(16, -(-int(v) // 16) * 16)
+
+        spill_mode = config.band_spill == "auto" and len(ne) > 0
+        if spill_mode:
+            # ---- robust selection (band+spill): per superwindow, PLACE a
+            # bucket-width window where it covers the most edges; edges
+            # outside the window spill to the additive segment-sum
+            # population.  This is what lets the streamed band path carry
+            # power-law / community graphs (hub and inter-community edges
+            # spill, the local mass streams) instead of the all-or-nothing
+            # full-extent selection of band_spill='never'.
+            keys = sw_of_edge * _BIG + column_index
+            keys.sort()
+            starts_ne = e_start[ne]
+            E_ne = E_sw[ne]
+            if auto_width:
+                if caps.band_supers:
+                    raise ValueError(
+                        "band_widths='auto' cannot satisfy PlanCaps "
+                        "(shard-uniform plans need explicit widths)")
+                # VMEM cap: see the band_spill='never' branch below.
+                W_CAP = 2048
+                qs = tuple(sorted({0.5, 0.75, 0.9,
+                                   float(config.band_coverage), 1.0}))
+                rw = _robust_widths(keys, e_start, e_end, ne, qs)
+                qcov = rw[qs.index(float(config.band_coverage))]
+                cands = set()
+                for row in (qcov, rw[-1]):
+                    for pct in (50, 60, 70, 80, 90, 95, 99):
+                        v = r_up(np.percentile(row, pct))
+                        if v <= W_CAP:
+                            cands.add(v)
+                if not cands:
+                    cands.add(r_up(min(int(np.median(qcov)), W_CAP)))
+                # total modeled cost per candidate width; coverage comes
+                # from the quantile table (step interpolation — exact
+                # placement runs once for the winner, below)
+                qs_arr = np.asarray(qs)
+                best = None
+                for wc in sorted(cands):
+                    nq = (rw <= wc).sum(axis=0)
+                    frac = np.where(nq > 0, qs_arr[np.maximum(nq - 1, 0)], 0.0)
+                    cov = frac * E_ne
+                    band_c = (bh * wc + wc * dnom * xbytes) / bw_s \
+                        + (E_ne - cov) * g_ns
+                    tot = float(np.minimum(band_c, sparse_cost[ne]).sum())
+                    if best is None or tot < best[0]:
+                        best = (tot, wc)
+                band_widths = (best[1],)
+                caps_s = (0,)
+                xp_rows = max(xp_rows, int(band_widths[-1]))
+            # exact placement per ladder width; per-super bucket choice
+            # minimizes modeled cost (band bytes + spill gather)
+            nb = len(band_widths)
+            cov_b = np.zeros((nb, len(ne)), dtype=np.int64)
+            st_b = np.zeros((nb, len(ne)), dtype=np.int64)
+            for b, wb in enumerate(band_widths):
+                cov_b[b], st_b[b] = _place_band_windows(
+                    keys, starts_ne, int(wb))
+            widths_arr = np.asarray(band_widths, dtype=np.float64)
+            band_cost_b = (
+                (bh * widths_arr[:, None]
+                 + widths_arr[:, None] * dnom * xbytes) / bw_s
+                + (E_ne[None, :] - cov_b) * g_ns
+            )
+            best_b = np.argmin(band_cost_b, axis=0)
+            ar_ne = np.arange(len(ne))
+            if config.band_mode == "always":
+                sel_ne = cov_b[best_b, ar_ne] > 0
+            else:
+                sel_ne = band_cost_b[best_b, ar_ne] < sparse_cost[ne]
+            band_sel = np.zeros(num_sw, dtype=bool)
+            band_sel[ne[sel_ne]] = True
+            bucket_sw = np.zeros(num_sw, dtype=np.int64)
+            bucket_sw[ne] = best_b
+            start = np.zeros(num_sw, dtype=np.int64)
+            start[ne] = st_b[best_b, ar_ne]
+        elif auto_width:
             # Resolve band width from the measured extent distribution:
             # a single bucket at round128(max extent) keeps the one-call
             # direct-write fast path whenever the distribution is tight;
@@ -486,34 +665,21 @@ def build_plan(
                 )
             caps_s = (0,) * len(band_widths)
             xp_rows = max(xp_rows, int(band_widths[-1]))
-        bucket_sw = np.searchsorted(np.asarray(band_widths), extent)
-        fits = nonempty & (bucket_sw < len(band_widths))
+        if not spill_mode:
+            bucket_sw = np.searchsorted(np.asarray(band_widths), extent)
+            fits = nonempty & (bucket_sw < len(band_widths))
 
-        if config.band_mode == "always":
-            band_sel = fits
-        else:
-            # measured cost model: band streams H*Bb int8 of A plus one
-            # Bb-row f32-container band of X; the alternative gathers one
-            # padded ELL slot per edge on the XLA take path.
-            ell_w = np.asarray(config.ell_widths, dtype=np.int64)
-            slot = np.where(
-                degrees > 0,
-                ell_w[np.minimum(np.searchsorted(ell_w, degrees), len(ell_w) - 1)],
-                0,
-            )
-            slot = np.where(degrees > ell_w[-1], degrees, slot)
-            slots_sw = np.add.reduceat(
-                np.concatenate([slot, [0]]), sw_row0
-            ) * (sw_row1 > sw_row0)
-            bb_arr = np.asarray(band_widths + (band_widths[-1],))[
-                np.minimum(bucket_sw, len(band_widths))
-            ]
-            dnom, xbytes = 128.0, 4.0
-            band_cost = (bh * bb_arr + bb_arr * dnom * xbytes) / (
-                config.stream_gbps * 1e9
-            )
-            sparse_cost = slots_sw * config.gather_ns_per_row * 1e-9
-            band_sel = fits & (band_cost < sparse_cost)
+            if config.band_mode == "always":
+                band_sel = fits
+            else:
+                # measured cost model: band streams H*Bb int8 of A plus
+                # one Bb-row f32-container band of X; the alternative
+                # gathers one padded ELL slot per edge (XLA take path).
+                bb_arr = np.asarray(band_widths + (band_widths[-1],))[
+                    np.minimum(bucket_sw, len(band_widths))
+                ]
+                band_cost = (bh * bb_arr + bb_arr * dnom * xbytes) / bw_s
+                band_sel = fits & (band_cost < sparse_cost)
 
         # Full coverage: when every nonempty superwindow is band-selected,
         # sweep the empty ones into the smallest bucket (zero A blocks) so
@@ -529,7 +695,7 @@ def build_plan(
         # Multi-bucket full cover costs one direct write + a small block
         # scatter (kernels.block_spmm), so this is a mild preference for
         # the one-kernel shape, not the old 2x aliasing-chain penalty.
-        if band_full_cover and not auto_width:
+        if band_full_cover and not auto_width and not spill_mode:
             sel = np.where(band_sel)[0]
             used = np.unique(bucket_sw[sel])
             if len(used) > 1:
@@ -558,8 +724,18 @@ def build_plan(
         can_clamp = band_sel & (m_rows >= bbw_of) & (n == c)
         start = np.where(can_clamp, np.minimum(start, m_rows - bbw_of), start)
 
+        # in-window mask: spill mode carves each banded super's A block
+        # from the placed window only; everything else spills (computed
+        # AFTER clamping so the clamp never invalidates an A entry)
+        if spill_mode:
+            lc_e = column_index - start[sw_of_edge]
+            in_win_e = (lc_e >= 0) & (lc_e < bbw_of[sw_of_edge])
+            spill_mask_e = band_sel[sw_of_edge] & ~in_win_e
+        else:
+            in_win_e = np.ones(len(column_index), dtype=bool)
+            spill_mask_e = np.zeros(len(column_index), dtype=bool)
+
         sw_pos = np.full(num_sw, -1, dtype=np.int64)
-        sw_of_edge = wa.edge_to_row.astype(np.int64) // bh
         for s, bbw in enumerate(band_widths):
             sws = np.where(band_sel & (bucket_sw == s))[0].astype(np.int64)
             # zero-capacity when empty (impls skip the kernel launch);
@@ -574,7 +750,8 @@ def build_plan(
                 starts_arr[: len(sws)] = start[sws].astype(np.int32)
                 xp_rows = max(xp_rows, int((start[sws] + bbw).max()))
                 # compact A: (super pos, local row, band-local col) per edge
-                sel_e = band_sel[sw_of_edge] & (bucket_sw[sw_of_edge] == s)
+                sel_e = (band_sel[sw_of_edge]
+                         & (bucket_sw[sw_of_edge] == s) & in_win_e)
                 e_sw = sw_of_edge[sel_e]
                 # preallocated column writes: np.stack measured 0.88 s
                 # for the same 1.7M x 3 result
@@ -589,6 +766,34 @@ def build_plan(
         w_of = (np.arange(wa.num_windows, dtype=np.int64) * wh) // bh
         band_window_mask = band_sel[w_of]
 
+        # ---- spill population (sorted by row: CSR edge order) ----
+        spill_nnz = int(spill_mask_e.sum())
+        if spill_nnz or caps.num_spill_rows or caps.num_spill_edges:
+            sp_rows_e = wa.edge_to_row[spill_mask_e].astype(np.int64)
+            sp_cols_e = column_index[spill_mask_e].astype(np.int32)
+            if len(sp_rows_e):
+                flags = np.empty(len(sp_rows_e), dtype=bool)
+                flags[0] = True
+                np.not_equal(sp_rows_e[1:], sp_rows_e[:-1], out=flags[1:])
+                sp_rows_u = sp_rows_e[flags]
+                sp_seg = (np.cumsum(flags) - 1).astype(np.int32)
+            else:
+                sp_rows_u = np.zeros(0, dtype=np.int64)
+                sp_seg = np.zeros(0, dtype=np.int32)
+            rp_cap = max(len(sp_rows_u), caps.num_spill_rows, 1)
+            ep_cap = max(len(sp_cols_e), caps.num_spill_edges, 1)
+            spill_fields = dict(
+                num_spill_rows=rp_cap,
+                num_spill_edges=ep_cap,
+                spill_nnz=spill_nnz,
+                # INT32_MAX row padding: always out of bounds, so the
+                # scatter-add's mode='drop' discards it
+                spill_rows=_pad_to(sp_rows_u.astype(np.int32), rp_cap,
+                                   np.iinfo(np.int32).max),
+                spill_edge_col=_pad_to(sp_cols_e, ep_cap, c),
+                spill_edge_seg=_pad_to(sp_seg, ep_cap, rp_cap),
+            )
+
     # -------------------- tiled band pair stream --------------------
     tiled_fields = {}
     if (
@@ -596,6 +801,7 @@ def build_plan(
         and config.band_impl == "tiled"
         and config.impl == "pallas"  # the XLA fallback consumes band*_a
         and band_full_cover
+        and not spill_fields  # tiled pairs span full extents themselves
         and n == c
         and bh % 128 == 0
     ):
@@ -774,6 +980,7 @@ def build_plan(
         band_full_cover=band_full_cover if band_widths else False,
         xp_rows=xp_rows,
         **tiled_fields,
+        **spill_fields,
         band_nnz=band_nnz,
         bucket_widths=widths,
         bucket_cols=bucket_cols,
@@ -790,7 +997,8 @@ def build_plan(
         out_perm=out_perm.astype(np.int32),
         nnz=nnz,
         dense_nnz=dense_nnz,
-        sparse_nnz=nnz - dense_nnz - band_nnz,
+        sparse_nnz=(nnz - dense_nnz - band_nnz
+                    - spill_fields.get("spill_nnz", 0)),
         dense_gather_rows=dense_gather_rows,
         unique_gather_rows=unique_gather_rows,
     )

@@ -672,15 +672,51 @@ def spmm_fused_pallas(arrs, x, w, plan, compute_dtype):
         xp, wp, num_sw, x.dtype,
     )
     h = w.shape[1]
-    return (
-        out.reshape(out.shape[0] * plan.band_h, h)[:n],
-        agg.reshape(agg.shape[0] * plan.band_h, dp)[:n, :d],
-    )
+    out_r = out.reshape(out.shape[0] * plan.band_h, h)[:n]
+    agg_r = agg.reshape(agg.shape[0] * plan.band_h, dp)[:n, :d]
+    if _has_spill(arrs, plan):
+        # band+spill: the fused kernel computed (band agg) @ W; correct
+        # both outputs on just the spill rows (tiny extra [Rp,d]@[d,h])
+        seg = _spill_seg(arrs, xp[:, :d], plan)
+        rows = arrs["spill_rows"]
+        agg_r = agg_r.at[rows].add(seg.astype(agg_r.dtype), mode="drop")
+        do = jnp.dot(seg, w.astype(jnp.float32),
+                     preferred_element_type=jnp.float32)
+        out_r = out_r.at[rows].add(do.astype(out_r.dtype), mode="drop")
+    return out_r, agg_r
 
 
 # ---------------------------------------------------------------------------
 # full hybrid SpMM (pallas paths + XLA residual/merge)
 # ---------------------------------------------------------------------------
+
+
+def _has_spill(arrs, plan) -> bool:
+    return getattr(plan, "has_spill", False) and "spill_rows" in arrs
+
+
+def _spill_seg(arrs, xsrc, plan):
+    """Per-spill-row aggregate [Rp, D] (fp32) of the spilled edges'
+    gathered ``xsrc`` rows.  Column padding carries the dropped segment
+    sentinel (seg == Rp), so whatever it gathers never lands."""
+    xe = jnp.take(xsrc, arrs["spill_edge_col"], axis=0)
+    return jax.ops.segment_sum(
+        xe.astype(jnp.float32),
+        arrs["spill_edge_seg"],
+        num_segments=plan.num_spill_rows + 1,
+        indices_are_sorted=True,
+    )[: plan.num_spill_rows]
+
+
+def apply_spill(out, arrs, xsrc, plan):
+    """Additive band+spill population (format.plan band_spill='auto'):
+    segment-sum the spilled edges' gathered rows and scatter-ADD onto the
+    assembled output.  Row padding is INT32_MAX, always out of bounds, so
+    ``mode='drop'`` discards it."""
+    if not _has_spill(arrs, plan):
+        return out
+    seg = _spill_seg(arrs, xsrc, plan)
+    return out.at[arrs["spill_rows"]].add(seg.astype(out.dtype), mode="drop")
 
 
 def spmm_padded_supported(plan) -> bool:
@@ -714,6 +750,8 @@ def spmm_pallas_padded(arrs, xp, plan, compute_dtype):
     xp = xp.astype(compute_dtype)
     m, dp = xp.shape
     if getattr(plan, "tiled", False):
+        # (tiled plans never carry spill — format.plan gates the pair
+        # stream on an empty spill population)
         return band_tiled_spmm(arrs, xp, plan, xp.dtype).reshape(m, dp)
     num_sw = m // plan.band_h
     nonempty = [i for i in range(len(plan.band_widths))
@@ -734,7 +772,7 @@ def spmm_pallas_padded(arrs, xp, plan, compute_dtype):
             arrs[f"band{i}_start"], arrs[f"band{i}_a"], xp
         ).astype(xp.dtype)
         buf = buf.at[arrs[f"band{i}_sw"]].set(part, mode="drop")
-    return buf.reshape(m, dp)
+    return apply_spill(buf.reshape(m, dp), arrs, xp, plan)
 
 
 def spmm_fused_pallas_padded(arrs, xp, wp, plan):
@@ -756,10 +794,17 @@ def spmm_fused_pallas_padded(arrs, xp, wp, plan):
         xp, wp, num_sw, xp.dtype,
     )
     m = num_sw * plan.band_h
-    return (
-        out[:num_sw].reshape(m, wp.shape[1]),
-        agg[:num_sw].reshape(m, xp.shape[1]),
-    )
+    out_r = out[:num_sw].reshape(m, wp.shape[1])
+    agg_r = agg[:num_sw].reshape(m, xp.shape[1])
+    if _has_spill(arrs, plan):
+        # band+spill correction on just the spill rows (see unpadded twin)
+        seg = _spill_seg(arrs, xp, plan)
+        rows = arrs["spill_rows"]
+        agg_r = agg_r.at[rows].add(seg.astype(agg_r.dtype), mode="drop")
+        do = jnp.dot(seg, wp.astype(jnp.float32),
+                     preferred_element_type=jnp.float32)
+        out_r = out_r.at[rows].add(do.astype(out_r.dtype), mode="drop")
+    return out_r, agg_r
 
 
 def spmm_pallas(arrs, x, plan, compute_dtype):
@@ -818,7 +863,9 @@ def spmm_pallas(arrs, x, plan, compute_dtype):
                 arrs[f"band{s}_sw"], arrs[f"band{s}_start"],
                 arrs[f"band{s}_a"], xp_band, num_sw, x.dtype,
             )
-            return buf.reshape(num_sw * plan.band_h, dp)[:n, :d]
+            return apply_spill(
+                buf.reshape(num_sw * plan.band_h, dp)[:n, :d],
+                arrs, xp[:, :d], plan)
         # Multi-bucket full cover: the most-populated bucket direct-writes
         # the whole buffer (blocks owned by other buckets come out as
         # uninitialized garbage), then the smaller buckets' block outputs
@@ -841,7 +888,9 @@ def spmm_pallas(arrs, x, plan, compute_dtype):
                 arrs[f"band{s}_start"], arrs[f"band{s}_a"], xp_band
             ).astype(x.dtype)
             buf = buf.at[arrs[f"band{s}_sw"]].set(part, mode="drop")
-        return buf.reshape(num_sw * plan.band_h, dp)[:n, :d]
+        return apply_spill(
+            buf.reshape(num_sw * plan.band_h, dp)[:n, :d],
+            arrs, xp[:, :d], plan)
 
     outs = []
     for s in range(len(plan.band_widths)):
@@ -878,4 +927,5 @@ def spmm_pallas(arrs, x, plan, compute_dtype):
         )[: plan.num_sparse_rows]
     )
     allrows = jnp.concatenate(outs + [jnp.zeros((1, d), jnp.float32)])
-    return jnp.take(allrows, arrs["out_perm"], axis=0).astype(x.dtype)
+    out = jnp.take(allrows, arrs["out_perm"], axis=0)
+    return apply_spill(out, arrs, xp[:, :d], plan).astype(x.dtype)

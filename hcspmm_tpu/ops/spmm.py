@@ -125,7 +125,7 @@ def _sparse_path_xla(arrs, xp, num_ell: int, num_sparse_rows: int, compute_dtype
 
 
 def _spmm_xla(arrs, x, *, num_buckets, num_ell, num_band, window_h, band_h,
-              num_sparse_rows, xp_rows, compute_dtype):
+              num_sparse_rows, xp_rows, compute_dtype, num_spill_rows=0):
     n, d = x.shape
     # dummy zero row at N; extra zero rows up to xp_rows so band slices
     # near the top of the column space stay in bounds
@@ -138,7 +138,18 @@ def _spmm_xla(arrs, x, *, num_buckets, num_ell, num_band, window_h, band_h,
     allrows = jnp.concatenate(
         band_flats + dense_flats + sparse_outs + [jnp.zeros((1, d), jnp.float32)]
     )
-    return jnp.take(allrows, arrs["out_perm"], axis=0).astype(x.dtype)
+    out = jnp.take(allrows, arrs["out_perm"], axis=0)
+    if num_spill_rows and "spill_rows" in arrs:
+        # band+spill additive residual (format.plan band_spill='auto'):
+        # row padding is INT32_MAX -> dropped; col padding carries the
+        # dropped segment sentinel, so its gathered value never lands
+        xe = jnp.take(xp, arrs["spill_edge_col"], axis=0)
+        seg = jax.ops.segment_sum(
+            xe.astype(jnp.float32), arrs["spill_edge_seg"],
+            num_segments=num_spill_rows + 1, indices_are_sorted=True,
+        )[:num_spill_rows]
+        out = out.at[arrs["spill_rows"]].add(seg, mode="drop")
+    return out.astype(x.dtype)
 
 
 @functools.partial(jax.jit, static_argnums=1)
@@ -340,6 +351,7 @@ def _build_impls(plan, pb, cd, impl):
                 num_band=len(plan.band_widths), window_h=plan.window_h,
                 band_h=plan.band_h, num_sparse_rows=plan.num_sparse_rows,
                 xp_rows=plan.xp_rows, compute_dtype=cd,
+                num_spill_rows=plan.num_spill_rows if plan.has_spill else 0,
             )
 
         def bwd_impl(arrs_b, g):
@@ -350,6 +362,7 @@ def _build_impls(plan, pb, cd, impl):
                 num_band=len(pb.band_widths), window_h=pb.window_h,
                 band_h=pb.band_h, num_sparse_rows=pb.num_sparse_rows,
                 xp_rows=pb.xp_rows, compute_dtype=cd,
+                num_spill_rows=pb.num_spill_rows if pb.has_spill else 0,
             )
     else:
         raise ValueError(f"unknown impl: {impl}")

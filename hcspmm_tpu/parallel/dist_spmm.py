@@ -62,6 +62,7 @@ def _local_spmm(arrs, x_view, sharded: ShardedPlan, compute_dtype):
         num_sparse_rows=sharded.num_sparse_rows,
         xp_rows=sharded.xp_rows,
         compute_dtype=compute_dtype,
+        num_spill_rows=sharded.num_spill_rows,
     )
 
 

@@ -61,6 +61,7 @@ class ShardedPlan:
                                             # sends in round r (to shard i+r+1)
     plans: Optional[List[ExecutionPlan]] = None  # host-side, for stats
     impl: str = "xla"   # shard-local compute: 'xla' | 'pallas'
+    num_spill_rows: int = 0  # uniform band+spill capacity (0 = absent)
 
     @property
     def nnz(self) -> int:
@@ -155,6 +156,11 @@ def build_sharded_plan(
             ),
             num_sparse_rows=max(p.num_sparse_rows for p in probe),
             num_sparse_edges=max(p.num_sparse_edges for p in probe),
+            # band+spill: any shard spilling forces the arrays (at the
+            # max capacity) on EVERY shard, so stacking stays uniform and
+            # no shard's spill edges are silently dropped
+            num_spill_rows=max(p.num_spill_rows for p in probe),
+            num_spill_edges=max(p.num_spill_edges for p in probe),
         )
 
     if mode == "allgather":
@@ -273,6 +279,8 @@ def build_sharded_plan(
         band_h=plans[0].band_h,
         xp_rows=max(p.xp_rows for p in plans),
         num_sparse_rows=plans[0].num_sparse_rows,
+        num_spill_rows=(plans[0].num_spill_rows
+                        if plans[0].has_spill else 0),
         mode=mode,
         stacked=stacked,
         halo_pair=halo_pair if mode in ("halo", "band_halo") else 0,
