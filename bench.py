@@ -22,7 +22,8 @@ and reported as (T(K2) - T(K1)) / (K2 - K1).
 
 Env knobs: HCSPMM_BENCH_NODES, HCSPMM_BENCH_DEGREE, HCSPMM_BENCH_DIM,
 HCSPMM_BENCH_DTYPE (bfloat16|float32), HCSPMM_BENCH_MODE (loi mode),
-HCSPMM_BENCH_IMPL (xla|pallas), HCSPMM_BENCH_GRAPH (blocks|span),
+HCSPMM_BENCH_IMPL (xla|pallas), HCSPMM_BENCH_GRAPH
+(blocks|span|powerlaw|standin:<RD|TT|DD|AZ|ARXIV|PRODUCTS>[@scale]),
 HCSPMM_BENCH_REORDER (rcm|loa|none), HCSPMM_BENCH_BAND (auto|always|never),
 HCSPMM_BENCH_BLOCK (community size), HCSPMM_BENCH_K (chain length).
 """
@@ -80,6 +81,16 @@ def main() -> int:
     t0 = time.perf_counter()
     if graph == "blocks":
         src, dst, nn = io.synthetic_blocks(nodes, degree, block, seed=7)
+    elif graph == "powerlaw":
+        # the reference's headline regime: non-bandable Chung-Lu tail
+        # (VERDICT r1 #1); size via HCSPMM_BENCH_NODES/DEGREE
+        src, dst, nn = io.synthetic_powerlaw(nodes, degree, seed=7)
+    elif graph.startswith("standin:"):
+        # Table II-matched power-law stand-in, e.g. standin:TT or
+        # standin:RD@0.25 (scale factor after @)
+        key, _, sc = graph[len("standin:"):].partition("@")
+        src, dst, nn, dim = io.reference_standin(
+            key, seed=7, scale=float(sc) if sc else 1.0)
     else:
         src, dst, nn = io.synthetic_graph(nodes, degree, seed=7, span=512)
     rp, ci = io.to_csr(src, dst, nn)
@@ -172,7 +183,7 @@ def main() -> int:
     ) + sum(
         len(plan.ell_row_ids[e]) * plan.ell_widths[e]
         for e in range(len(plan.ell_widths))
-    ) + plan.sparse_nnz
+    ) + plan.sparse_nnz + plan.spill_nnz
     dense_a_bytes = sum(
         len(plan.bucket_window_ids[b]) * plan.window_h * plan.bucket_widths[b]
         for b in range(len(plan.bucket_widths))
@@ -203,6 +214,8 @@ def main() -> int:
                 "dense_windows": plan.num_dense_windows,
                 "dense_nnz": plan.dense_nnz,
                 "sparse_nnz": plan.sparse_nnz,
+                "spill_nnz": plan.spill_nnz,
+                "band_widths": list(plan.band_widths),
                 "total_windows": (nn + 15) // 16,
                 "prep_s": round(prep_s, 3),
                 "reorder_s": round(reorder_s, 3),
