@@ -305,8 +305,22 @@ class ExecutionPlan:
 
 # Key base for per-superwindow sorted column keys (sw * _BIG + col):
 # larger than any column id, so windows [start, start+w) never cross a
-# superwindow boundary in searchsorted space.
+# superwindow boundary in searchsorted space.  Divisible by 16 so the
+# 16-aligned group quantization (keys >> 4) below stays exact.
 _BIG = np.int64(1) << 33
+
+
+def _seg_of_positions(boundaries, total):
+    """``seg_of[p]`` = index of the segment (given sorted start positions
+    ``boundaries``, boundaries[0] == 0) containing position ``p``.
+
+    Boundary-mark bincount+cumsum, NOT searchsorted: per-element binary
+    search over 5.5M positions measured ~6 s on this rig vs ~40 ms for
+    the cumsum form (see windows.analyze_windows note)."""
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    marks = np.bincount(boundaries[1:], minlength=total)[:total]
+    return np.cumsum(marks)
 
 
 def _robust_widths(keys, e_start, e_end, ne, qs):
@@ -321,7 +335,7 @@ def _robust_widths(keys, e_start, e_end, ne, qs):
     starts_ne = e_start[ne]
     ends_ne = e_end[ne]
     cnt_s = ends_ne - starts_ne
-    seg_of = np.searchsorted(starts_ne, ar, side="right") - 1
+    seg_of = _seg_of_positions(starts_ne, total)
     out = np.empty((len(qs), len(starts_ne)), dtype=np.int64)
     for qi, q in enumerate(qs):
         k = np.maximum(np.ceil(q * cnt_s).astype(np.int64), 1)
@@ -340,20 +354,40 @@ def _place_band_windows(keys, starts_ne, w):
     """Best 16-aligned window of width ``w`` per nonempty superwindow:
     the placement that covers the most edges (candidates = the aligned
     start at-or-below each edge column).  Returns (covered edge count
-    [n_ne], chosen start column [n_ne])."""
+    [n_ne], chosen start column [n_ne]).
+
+    Works on (sw, col//16) GROUPS rather than edges: keys are sorted, 16
+    divides _BIG, so ``keys >> 4`` is sorted and group-constant; every
+    candidate window start is a group's aligned column, its covered-edge
+    count a difference of group-prefix sums.  One searchsorted over [G]
+    groups replaces two over [E] edges (~100x fewer probes at TT scale).
+    """
     total = len(keys)
-    ar = np.arange(total, dtype=np.int64)
-    cols = keys % _BIG
-    base = keys - cols
-    astart = (cols // 16) * 16
-    lo = np.searchsorted(keys, base + astart)
-    hi = np.searchsorted(keys, base + astart + w)
-    cnt = hi - lo
-    cov = np.maximum.reduceat(cnt, starts_ne)
-    seg_of = np.searchsorted(starts_ne, ar, side="right") - 1
-    best = np.where(cnt == cov[seg_of], ar, total)
-    bi = np.minimum.reduceat(best, starts_ne)
-    return cov, astart[bi]
+    if total == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z
+    qk = keys >> 4                       # sw*(_BIG//16) + col//16, sorted
+    flags = np.empty(total, dtype=bool)
+    flags[0] = True
+    np.not_equal(qk[1:], qk[:-1], out=flags[1:])
+    gstart = np.flatnonzero(flags)       # [G] edge position of group start
+    qku = qk[gstart]                     # [G] sorted group keys
+    g = len(gstart)
+    cum = np.append(gstart, total)       # [G+1] prefix edge counts
+    hi_g = np.searchsorted(qku, qku + (w >> 4))
+    cnt_g = cum[hi_g] - gstart           # edges covered from this group on
+    # super boundaries in group space (supers = high bits of qku)
+    sup_g = qku >> 29                    # _BIG >> 4 == 1 << 29
+    sflags = np.empty(g, dtype=bool)
+    sflags[0] = True
+    np.not_equal(sup_g[1:], sup_g[:-1], out=sflags[1:])
+    gb = np.flatnonzero(sflags)          # [n_ne] group index of super start
+    cov = np.maximum.reduceat(cnt_g, gb)
+    seg_of_g = np.cumsum(sflags) - 1
+    best = np.where(cnt_g == cov[seg_of_g], np.arange(g), g)
+    bi = np.minimum.reduceat(best, gb)
+    start = (qku[bi] & ((np.int64(1) << 29) - 1)) << 4
+    return cov, start
 
 
 def _build_tiled_pairs(num_sw, bh, min_col, max_col, nonempty,
@@ -520,7 +554,12 @@ def build_plan(
             max_col[ne] = np.maximum.reduceat(column_index, e_start[ne])
         start = (min_col // 16) * 16  # sublane-aligned band start
         extent = max_col - start + 1
-        sw_of_edge = wa.edge_to_row.astype(np.int64) // bh
+        # edge -> superwindow via boundary marks (integer division over E
+        # elements measured seconds on this rig; see _seg_of_positions)
+        nnz_e = len(wa.edge_to_row)
+        sw_of_edge = _seg_of_positions(
+            rp64[np.minimum(
+                np.arange(num_sw, dtype=np.int64) * bh, n)], nnz_e)
         E_sw = e_end - e_start
 
         # gather-path cost per superwindow (one padded ELL slot per edge

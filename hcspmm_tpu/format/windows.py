@@ -155,9 +155,18 @@ def analyze_windows(
     num_windows = (num_nodes + window_h - 1) // window_h
     num_cols = num_nodes if num_cols is None else num_cols
 
-    degrees = np.diff(row_pointers)
-    edge_to_row = np.repeat(np.arange(num_nodes, dtype=np.int64), degrees)
-    edge_to_window = edge_to_row // window_h
+    # edge -> row/window via boundary-mark cumsum, NOT np.repeat or //:
+    # on this rig np.repeat's tiny-run write pattern measured 2-6 s at
+    # 5.5M edges (fresh-page fault pathology) vs 0.04 s for the cumsum
+    # form; integer division on the result was similarly slow.
+    marks = row_pointers[1:num_nodes]
+    edge_to_row = np.bincount(marks, minlength=max(nnz, 1))[:max(nnz, 1)]
+    np.cumsum(edge_to_row, out=edge_to_row)
+    edge_to_row = edge_to_row[:nnz]
+    wmarks = row_pointers[window_h:num_nodes:window_h]
+    edge_to_window = np.bincount(wmarks, minlength=max(nnz, 1))[:max(nnz, 1)]
+    np.cumsum(edge_to_window, out=edge_to_window)
+    edge_to_window = edge_to_window[:nnz]
 
     # Window edge ranges: windows cover contiguous row ranges, so the edge
     # range of window w is [row_ptr[16w], row_ptr[min(16w+16, N)]).
@@ -169,13 +178,13 @@ def analyze_windows(
     # the dedup + binary-search of .cu:242-268.  Native path: OpenMP C++
     # over windows (native/preprocess.cpp).  NumPy path: one np.unique
     # over (window * C + col) keys; kept as portable fallback and oracle.
-    # 'auto' takes the OpenMP C++ analyzer only on multicore hosts: its
-    # two window-parallel passes scale with cores, while np.unique's
-    # single vectorized sort wins on one core (measured 0.18 s vs 0.57 s
-    # single-core at DD scale).
-    use_native = backend == "native" or (
-        backend == "auto" and (os.cpu_count() or 1) >= 4
-    )
+    # 'auto' prefers the C++ analyzer whenever it builds: it scales with
+    # cores (OpenMP) AND is robust at scale — np.unique's int64 argsort
+    # measured 21 s at 5.5M edges on this rig (power-law TT stand-in)
+    # vs 2.8 s for the native pass even single-core.  (The one regime
+    # where NumPy wins — small graphs on a 1-core host — is prep-time
+    # noise: ~0.4 s at DD scale.)
+    use_native = backend == "native" or backend == "auto"
     lib = _native_lib() if use_native else None
     if backend == "native" and lib is None:
         raise RuntimeError("native analyzer unavailable (g++ failed?)")

@@ -62,6 +62,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "(the reference computes degrees but never applies "
                         "them; off = reference semantics)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--device", type=str, default="auto", choices=["auto", "cpu"],
+                   help="cpu forces the host platform even when a TPU plugin "
+                        "is installed (the axon plugin ignores JAX_PLATFORMS)")
     return p
 
 
@@ -95,6 +98,10 @@ def enable_compile_cache() -> None:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     print(args)
+    if args.device == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     enable_compile_cache()
     logger = stdout_logger(dataset=args.dataset, model=args.model)
 
