@@ -23,4 +23,8 @@ Architecture (TPU-first, not a port):
 
 __version__ = "0.1.0"
 
+from hcspmm_tpu.utils import arena as _arena
+
+_arena.tune()  # keep the host arena warm (lazy-paged VM; see utils/arena.py)
+
 from hcspmm_tpu.config import BLK_H, BLK_W, HCSpMMConfig  # noqa: F401

@@ -160,10 +160,115 @@ def synthetic_powerlaw(
     return src.astype(np.int32), dst.astype(np.int32), num_nodes
 
 
+def synthetic_dcsbm(
+    num_nodes: int,
+    avg_degree: float,
+    exponent: float = 2.5,
+    mixing: float = 0.3,
+    comm_min: int = 16,
+    comm_max: int = 512,
+    comm_exponent: float = 1.8,
+    seed: int = 0,
+    symmetric: bool = True,
+) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Degree-corrected stochastic block model: a power-law degree tail
+    (Chung-Lu weights, tail exponent ``exponent``) PLUS community
+    structure (sizes ~ truncated power law in [comm_min, comm_max],
+    exponent ``comm_exponent``; a ``mixing`` fraction of edge endpoints
+    fall outside the community).
+
+    Why this exists: real power-law graphs (the reference's RD/TT/AZ
+    headliners, report Table II) are clustered — that is why 15-22% of
+    their 16-row windows are TC-suitable (report §V-B, Fig. 8) and why
+    the hybrid design pays off.  A pure Chung-Lu graph has clustering
+    coefficient ~0 and measures **0%** TC-suitable windows — an
+    adversarial lower bound, not a stand-in.  This generator restores
+    the clustered component; ``tools/standin_fidelity.py`` checks a
+    stand-in against the reference anchors (degree quantiles, TC-window
+    fraction, non-bandability).  Vertex ids are scrambled, so layout
+    reordering (LOA/RCM) must rediscover the communities exactly as it
+    must on the real downloads.
+    """
+    rng = np.random.RandomState(seed)
+    num_edges = int(num_nodes * avg_degree) // (2 if symmetric else 1)
+
+    # community sizes: truncated power law; node -> community contiguous
+    # in a hidden id space (scrambled at the end)
+    n_draw = max(2 * num_nodes // comm_min, 4)
+    u = rng.random_sample(n_draw)
+    a1 = 1.0 - comm_exponent
+    sizes = ((comm_min ** a1 + u * (comm_max ** a1 - comm_min ** a1))
+             ** (1.0 / a1)).astype(np.int64)
+    csz = np.cumsum(sizes)
+    k = int(np.searchsorted(csz, num_nodes))
+    sizes = sizes[: k + 1]
+    sizes[-1] = num_nodes - (csz[k - 1] if k else 0)
+    if sizes[-1] <= 0:
+        sizes = sizes[:-1]
+    comm_start = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int64)
+    ncomm = len(sizes)
+
+    # Chung-Lu weights assigned to hidden ids in random rank order
+    gamma = 1.0 / (exponent - 1.0)
+    w = np.arange(1, num_nodes + 1, dtype=np.float64) ** (-gamma)
+    w = w[rng.permutation(num_nodes)]
+    cumw = np.concatenate([[0.0], np.cumsum(w)])
+
+    # endpoint 1: global Chung-Lu draw (sets the degree distribution)
+    src = np.searchsorted(cumw, rng.random_sample(num_edges) * cumw[-1],
+                          side="right").astype(np.int64) - 1
+    np.clip(src, 0, num_nodes - 1, out=src)
+    # endpoint 2: with prob 1-mixing from src's community (w-proportional
+    # within the community slice), else a global draw
+    comm_of = np.repeat(np.arange(ncomm, dtype=np.int64), sizes)
+    c = comm_of[src]
+    lo_w = cumw[comm_start[c]]
+    hi_w = cumw[comm_start[c + 1]]
+    local = rng.random_sample(num_edges) >= mixing
+    target = np.where(
+        local,
+        lo_w + rng.random_sample(num_edges) * (hi_w - lo_w),
+        rng.random_sample(num_edges) * cumw[-1],
+    )
+    dst = np.searchsorted(cumw, target, side="right").astype(np.int64) - 1
+    np.clip(dst, 0, num_nodes - 1, out=dst)
+
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    perm = rng.permutation(num_nodes)
+    src, dst = perm[src], perm[dst]
+    if symmetric:
+        src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
+    return src.astype(np.int32), dst.astype(np.int32), num_nodes
+
+
+# Stand-in structure parameters per reference graph, calibrated with
+# tools/standin_fidelity.py against the report's anchors: TC-suitable
+# window fraction 15-22% on representative graphs (§V-B Fig. 8) and the
+# degree-tail shape.  DD is a union of small disjoint protein graphs
+# (avg component ~280 nodes), hence tiny communities and low mixing.
+STANDIN_STRUCTURE = {
+    # DD is a union of ~disjoint small protein graphs (Table II; avg
+    # component ~280 nodes): near-zero mixing, RCM/pack can band it —
+    # the band path's home regime (round-1 headline config).
+    "DD": dict(kind="dcsbm", mixing=0.02, comm_min=64, comm_max=480),
+    "AZ": dict(kind="dcsbm", mixing=0.25, comm_min=16, comm_max=256),
+    "RD": dict(kind="dcsbm", mixing=0.30, comm_min=16, comm_max=512),
+    "TT": dict(kind="dcsbm", mixing=0.30, comm_min=16, comm_max=512),
+    "ARXIV": dict(kind="dcsbm", mixing=0.30, comm_min=16, comm_max=256),
+    "PRODUCTS": dict(kind="dcsbm", mixing=0.30, comm_min=16, comm_max=512),
+}
+
+
 def reference_standin(
-    key: str, seed: int = 0, scale: float = 1.0
+    key: str, seed: int = 0, scale: float = 1.0, kind: str = "auto"
 ) -> Tuple[np.ndarray, np.ndarray, int, int]:
-    """Size-matched power-law stand-in for a reference Table II graph.
+    """Size-matched stand-in for a reference Table II graph.
+
+    ``kind``: 'auto' uses the calibrated clustered model
+    (STANDIN_STRUCTURE, degree-corrected SBM); 'chunglu' forces the
+    unclustered pure power-law graph — the adversarial no-locality
+    lower bound where no reordering can create dense windows.
 
     Returns (src, dst, num_nodes, feature_dim).  ``scale`` < 1 shrinks
     N and E together (degree structure preserved) for memory-limited
@@ -172,9 +277,17 @@ def reference_standin(
     g = REFERENCE_GRAPHS[key.upper()]
     n = int(g["num_nodes"] * scale)
     e = int(g["num_edges"] * scale)
-    src, dst, _ = synthetic_powerlaw(
-        n, avg_degree=e / n, seed=seed, symmetric=True
-    )
+    st = STANDIN_STRUCTURE.get(key.upper(), {"kind": "chunglu"})
+    if kind == "chunglu" or st.get("kind") == "chunglu":
+        src, dst, _ = synthetic_powerlaw(
+            n, avg_degree=e / n, seed=seed, symmetric=True
+        )
+    else:
+        src, dst, _ = synthetic_dcsbm(
+            n, avg_degree=e / n, seed=seed, symmetric=True,
+            mixing=st["mixing"], comm_min=st["comm_min"],
+            comm_max=st["comm_max"],
+        )
     return src, dst, n, g["dim"]
 
 
