@@ -24,7 +24,7 @@ Env knobs: HCSPMM_BENCH_NODES, HCSPMM_BENCH_DEGREE, HCSPMM_BENCH_DIM,
 HCSPMM_BENCH_DTYPE (bfloat16|float32), HCSPMM_BENCH_MODE (loi mode),
 HCSPMM_BENCH_IMPL (xla|pallas), HCSPMM_BENCH_GRAPH
 (blocks|span|powerlaw|standin:<RD|TT|DD|AZ|ARXIV|PRODUCTS>[@scale]),
-HCSPMM_BENCH_REORDER (rcm|loa|none), HCSPMM_BENCH_BAND (auto|always|never),
+HCSPMM_BENCH_REORDER (rcm|loa|cluster|none), HCSPMM_BENCH_BAND (auto|always|never),
 HCSPMM_BENCH_BLOCK (community size), HCSPMM_BENCH_K (chain length).
 """
 
@@ -101,9 +101,9 @@ def main() -> int:
     if reorder_mode != "none":
         from hcspmm_tpu.format import reorder as _ro
 
-        perm = (_ro.rcm_reorder if reorder_mode == "rcm" else _ro.loa_reorder)(
-            rp, ci, nn
-        )
+        fn = {"rcm": _ro.rcm_reorder, "loa": _ro.loa_reorder,
+              "cluster": _ro.cluster_reorder}[reorder_mode]
+        perm = fn(rp, ci, nn)
         rp, ci = _ro.apply_permutation(rp, ci, nn, perm)
     reorder_s = time.perf_counter() - t0
 

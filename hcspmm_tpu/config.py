@@ -143,9 +143,14 @@ class PlanConfig:
     # graphs; int4 halves them (values are {0,1}, so 4 bits are plenty).
     a_dtype: str = "int8"
     # Cost-model constants for the band-vs-gather decision, measured on
-    # v5e (see format.loi.decide_band): seconds per gathered ELL slot on
-    # the XLA take path, and effective HBM GB/s for streamed band/A bytes.
-    gather_ns_per_row: float = 7.0
+    # v5e.  Gathered rows (ELL slots / spill edges) go through the random
+    # row-gather path whose measured effective bandwidth is take_gbps
+    # (XLA take ~27 GB/s round-1; re-probed by tools/probe_gather.py), so
+    # per-row cost = row bytes / take_gbps.  Streamed band/A bytes run at
+    # stream_gbps.  gather_ns_per_row=None derives the per-row cost from
+    # take_gbps and the compute dtype; a number pins it (ablations).
+    gather_ns_per_row: Optional[float] = None
+    take_gbps: float = 27.0
     stream_gbps: float = 900.0  # measured ~970 GB/s effective on v5e
     # LOI mode: 'intended' | 'degenerate' | 'calibrated' | 'all_dense'
     # | 'all_sparse'.  'degenerate' reproduces the reference's live line

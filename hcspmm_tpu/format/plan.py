@@ -531,6 +531,7 @@ def build_plan(
     xp_rows = c + 1
     band_nnz = 0
     spill_fields: dict = {}
+    dense_routed_w = None  # set by spill-mode three-way routing
     caps_s = caps.band_supers or (0,) * len(band_widths)
     if len(caps_s) != len(band_widths):
         raise ValueError("caps.band_supers length must match band_widths")
@@ -574,9 +575,18 @@ def build_plan(
         slots_sw = np.add.reduceat(
             np.concatenate([slot, [0]]), sw_row0
         ) * (sw_row1 > sw_row0)
-        g_ns = config.gather_ns_per_row * 1e-9
+        dnom = 128.0
+        xbytes = 2.0 if config.compute_dtype == "bfloat16" else 4.0
+        # per-gathered-row cost: row bytes over the measured random-gather
+        # bandwidth (XLA take path).  The old fixed 7 ns default made a
+        # 2048-wide band block "cheaper" than gathering 100 edges, so
+        # power-law plans claimed every superwindow at ~1% coverage and
+        # streamed GBs of A for nothing (round-2 fix).
+        if config.gather_ns_per_row is not None:
+            g_ns = config.gather_ns_per_row * 1e-9
+        else:
+            g_ns = dnom * xbytes / (config.take_gbps * 1e9)
         sparse_cost = slots_sw * g_ns
-        dnom, xbytes = 128.0, 4.0
         bw_s = config.stream_gbps * 1e9
         if config.impl == "pallas":
             r_up = lambda v: max(128, -(-int(v) // 128) * 128)
@@ -592,8 +602,8 @@ def build_plan(
             # power-law / community graphs (hub and inter-community edges
             # spill, the local mass streams) instead of the all-or-nothing
             # full-extent selection of band_spill='never'.
-            keys = sw_of_edge * _BIG + column_index
-            keys.sort()
+            keys_unsorted = sw_of_edge * _BIG + column_index
+            keys = np.sort(keys_unsorted)
             starts_ne = e_start[ne]
             E_ne = E_sw[ne]
             if auto_width:
@@ -648,16 +658,103 @@ def build_plan(
             )
             best_b = np.argmin(band_cost_b, axis=0)
             ar_ne = np.arange(len(ne))
+
+            # ---- population routing: the LOI selector generalized to the
+            # TPU population set (reference: the two-way CUDA/TC dispatch,
+            # hybrid_all_kernel.cu:261-262 + .cu:960).  Two passes with
+            # costs in seconds from the measured constants (streamed
+            # bytes at stream_gbps, gathered rows at take_gbps):
+            #
+            # 1. per WINDOW: a TC-suitable window routes to the MXU
+            #    dense-bucket population iff its bucket cost (gather
+            #    K_pad unique rows + stream the A block) beats leaving
+            #    its *uncovered* edges (w.r.t. the super's placed band
+            #    window) to the spill gather.  Windows already inside
+            #    the band window stay banded for free.
+            # 2. per SUPERWINDOW: with bucket windows carved out, the
+            #    band window is RE-PLACED on the remaining edges and
+            #    kept iff streaming it beats gathering those edges.
+            w_of_w = (np.arange(wa.num_windows, dtype=np.int64) * wh) // bh
+            kmax_r = widths[-1]
+            tc_w = (
+                (wa.hybrid_type == 1)
+                & (wa.edge_counts > 0)
+                & (wa.unique_counts <= kmax_r)
+            )
+            kpad_w = np.asarray(widths + (kmax_r,))[
+                np.minimum(np.searchsorted(np.asarray(widths),
+                                           wa.unique_counts), len(widths))
+            ]
+            win_bucket_cost = wh * kpad_w / bw_s + kpad_w * g_ns
+            # per-window uncovered-edge count under the all-edges placed
+            # window of its super
+            st_all = np.zeros(num_sw, dtype=np.int64)
+            st_all[ne] = st_b[best_b, ar_ne]
+            bbw_all = np.asarray(band_widths)[best_b]
+            bbw_sw = np.zeros(num_sw, dtype=np.int64)
+            bbw_sw[ne] = bbw_all
+            lc_all = column_index - st_all[sw_of_edge]
+            out_win_e = (lc_all < 0) | (lc_all >= bbw_sw[sw_of_edge])
+            uncov_w = np.bincount(
+                wa.edge_to_window[out_win_e], minlength=wa.num_windows)
+            dense_routed_w = tc_w & (win_bucket_cost < uncov_w * g_ns)
             if config.band_mode == "always":
-                sel_ne = cov_b[best_b, ar_ne] > 0
+                dense_routed_w &= False
+
+            # pass 2: re-place band on non-bucket edges, per-super on/off
+            tc_e = dense_routed_w[wa.edge_to_window]
+            rest_cnt = np.bincount(
+                sw_of_edge[~tc_e], minlength=num_sw).astype(np.int64)
+            keys_rest = np.sort(keys_unsorted[~tc_e])
+            rest_pos = np.zeros(num_sw + 1, dtype=np.int64)
+            np.cumsum(rest_cnt, out=rest_pos[1:])
+            ne_rest = np.where(rest_cnt > 0)[0]
+            cov_rest = np.zeros(num_sw, dtype=np.int64)
+            st_rest = np.zeros(num_sw, dtype=np.int64)
+            best_rest = np.zeros(num_sw, dtype=np.int64)
+            if len(ne_rest):
+                covr_b = np.zeros((nb, len(ne_rest)), dtype=np.int64)
+                str_b = np.zeros((nb, len(ne_rest)), dtype=np.int64)
+                for b, wb in enumerate(band_widths):
+                    covr_b[b], str_b[b] = _place_band_windows(
+                        keys_rest, rest_pos[:-1][ne_rest], int(wb))
+                band_cost_rb = (
+                    (bh * widths_arr[:, None]
+                     + widths_arr[:, None] * dnom * xbytes) / bw_s
+                    + (rest_cnt[ne_rest][None, :] - covr_b) * g_ns
+                )
+                br = np.argmin(band_cost_rb, axis=0)
+                arr_r = np.arange(len(ne_rest))
+                cov_rest[ne_rest] = covr_b[br, arr_r]
+                st_rest[ne_rest] = str_b[br, arr_r]
+                best_rest[ne_rest] = br
+
+            S_rest = (bh * widths_arr[best_rest]
+                      + widths_arr[best_rest] * dnom * xbytes) / bw_s
+            # gather cost of the rest edges if band is off: ELL-padded
+            # slots for whole non-bucket windows (they fall to ELL /
+            # residual), raw for spill-style leftovers — use the padded
+            # model as before
+            slot_pad = np.concatenate([slot, [0]])
+            w_row0 = np.minimum(
+                np.arange(wa.num_windows, dtype=np.int64) * wh, n)
+            slots_w = np.add.reduceat(slot_pad, w_row0) * (w_row0 < n)
+            gather_rest_s = np.bincount(
+                w_of_w, weights=np.where(~dense_routed_w, slots_w, 0)
+                * g_ns, minlength=num_sw)
+            c_band = S_rest + (rest_cnt - cov_rest) * g_ns
+            if config.band_mode == "always":
+                band_on = np.zeros(num_sw, dtype=bool)
+                band_on[ne] = cov_b[best_b, ar_ne] > 0
             else:
-                sel_ne = band_cost_b[best_b, ar_ne] < sparse_cost[ne]
-            band_sel = np.zeros(num_sw, dtype=bool)
-            band_sel[ne[sel_ne]] = True
-            bucket_sw = np.zeros(num_sw, dtype=np.int64)
-            bucket_sw[ne] = best_b
-            start = np.zeros(num_sw, dtype=np.int64)
-            start[ne] = st_b[best_b, ar_ne]
+                band_on = (rest_cnt > 0) & (c_band < gather_rest_s)
+            band_sel = band_on
+            bucket_sw = best_rest
+            start = st_rest
+            if config.band_mode == "always":
+                bucket_sw = np.zeros(num_sw, dtype=np.int64)
+                bucket_sw[ne] = best_b
+                start = st_all
         elif auto_width:
             # Resolve band width from the measured extent distribution:
             # a single bucket at round128(max extent) keeps the one-call
@@ -723,10 +820,15 @@ def build_plan(
         # Full coverage: when every nonempty superwindow is band-selected,
         # sweep the empty ones into the smallest bucket (zero A blocks) so
         # the whole output is produced by direct-write band kernels and the
-        # merge permutation pass disappears (kernels.block_spmm).
-        if bool(band_sel[nonempty].all()) and bool(nonempty.any()):
+        # merge permutation pass disappears (kernels.block_spmm).  Dense-
+        # routed windows inside banded supers break direct write (their
+        # rows' outputs come from the bucket region via out_perm).
+        no_dense_routed = dense_routed_w is None or not dense_routed_w.any()
+        if (bool(band_sel[nonempty].all()) and bool(nonempty.any())
+                and no_dense_routed):
             band_sel = band_sel | ~nonempty
-        band_full_cover = bool(band_sel.all()) and len(band_sel) > 0
+        band_full_cover = (bool(band_sel.all()) and len(band_sel) > 0
+                           and no_dense_routed)
 
         # Collapse a *configured* ladder to a single width bucket when the
         # extra A padding is cheap (auto widths already chose the optimal
@@ -765,11 +867,16 @@ def build_plan(
 
         # in-window mask: spill mode carves each banded super's A block
         # from the placed window only; everything else spills (computed
-        # AFTER clamping so the clamp never invalidates an A entry)
+        # AFTER clamping so the clamp never invalidates an A entry).
+        # Edges of dense-routed (bucket) windows belong to the bucket
+        # population: never in band A, never spilled.
         if spill_mode:
             lc_e = column_index - start[sw_of_edge]
             in_win_e = (lc_e >= 0) & (lc_e < bbw_of[sw_of_edge])
-            spill_mask_e = band_sel[sw_of_edge] & ~in_win_e
+            bandwin_e = (band_sel[sw_of_edge]
+                         & ~dense_routed_w[wa.edge_to_window])
+            in_win_e &= bandwin_e
+            spill_mask_e = bandwin_e & ~in_win_e
         else:
             in_win_e = np.ones(len(column_index), dtype=bool)
             spill_mask_e = np.zeros(len(column_index), dtype=bool)
@@ -804,6 +911,8 @@ def build_plan(
             band_sw_ids.append(sws)
         w_of = (np.arange(wa.num_windows, dtype=np.int64) * wh) // bh
         band_window_mask = band_sel[w_of]
+        if dense_routed_w is not None:
+            band_window_mask &= ~dense_routed_w
 
         # ---- spill population (sorted by row: CSR edge order) ----
         spill_nnz = int(spill_mask_e.sum())
@@ -850,12 +959,16 @@ def build_plan(
         )
 
     kmax = widths[-1]
-    dense_mask_w = (
-        (wa.hybrid_type == 1)
-        & (wa.edge_counts > 0)
-        & (wa.unique_counts <= kmax)
-        & ~band_window_mask
-    )
+    if dense_routed_w is not None:
+        # spill-mode three-way routing already decided per window
+        dense_mask_w = dense_routed_w
+    else:
+        dense_mask_w = (
+            (wa.hybrid_type == 1)
+            & (wa.edge_counts > 0)
+            & (wa.unique_counts <= kmax)
+            & ~band_window_mask
+        )
     sparse_mask_w = ~dense_mask_w & (wa.edge_counts > 0) & ~band_window_mask
 
     # -------------------- dense buckets --------------------

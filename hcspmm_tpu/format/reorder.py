@@ -258,6 +258,141 @@ def pack_reorder(row_pointers, column_index, num_nodes: int,
     return np.asarray(perm, dtype=np.int32)
 
 
+def _agglomerate_labels(row_pointers, column_index, num_nodes: int,
+                        cap: int = 1024, rounds: int = 20) -> np.ndarray:
+    """Size-capped mutual-best heavy-edge agglomeration.
+
+    Each round: contract the graph by current labels (parallel edges act
+    as weights), find every cluster's heaviest-weight partner, and merge
+    exactly the MUTUAL best pairs whose combined size stays <= ``cap``
+    (mutual matching is acyclic, so one vectorized relabel per round).
+    Cluster pairs inside a true community accumulate many parallel
+    coarse edges while mixing edges stay spread thin, so fragments of
+    the same community find each other even when the community subgraph
+    is near-tree sparse — the regime where plain label propagation
+    fragments (measured: q90 cluster size 10 vs true community sizes
+    64-480 on the DD stand-in).  O(E log E) per round; converges when no
+    admissible pair remains.
+    """
+    rp = np.asarray(row_pointers, dtype=np.int64)
+    ci = np.asarray(column_index, dtype=np.int64)
+    n = num_nodes
+    nnz = len(ci)
+    e_row = np.empty(max(nnz, 1), dtype=np.int64)
+    cnt = np.bincount(rp[1:n], minlength=max(nnz, 1))[: max(nnz, 1)]
+    np.cumsum(cnt, out=e_row)
+    e_row = e_row[:nnz]
+    labels = np.arange(n, dtype=np.int64)
+    big = np.int64(n) + 1
+    for rnd in range(rounds):
+        la = labels[e_row]
+        lb = labels[ci]
+        m = la != lb
+        if not m.any():
+            break
+        key = la[m] * big + lb[m]
+        key.sort()
+        runf = np.empty(len(key), dtype=bool)
+        runf[0] = True
+        np.not_equal(key[1:], key[:-1], out=runf[1:])
+        rs = np.flatnonzero(runf)
+        w = np.diff(np.append(rs, len(key)))      # pair weight
+        pla = key[rs] // big
+        plb = key[rs] % big
+        # best partner per pla: max weight, ties -> smallest partner id
+        gf = np.empty(len(rs), dtype=bool)
+        gf[0] = True
+        np.not_equal(pla[1:], pla[:-1], out=gf[1:])
+        gb = np.flatnonzero(gf)
+        wmax = np.maximum.reduceat(w, gb)
+        seg = np.cumsum(gf) - 1
+        cand = np.where(w == wmax[seg], plb, big)
+        bestp = np.minimum.reduceat(cand, gb)
+        who = pla[gb]
+        sizes = np.bincount(labels, minlength=n)
+        # hash-parity matching: clusters with bit 0 merge into their
+        # best partner when it has bit 1 — no cycles or chains, exact
+        # size accounting, ~half the desirable merges land per round.
+        # (Mutual-best matching stalls on weight-1 ties: measured 228k
+        # singletons left on the DD stand-in.)
+        h = (np.arange(n, dtype=np.int64) * 2654435761 + rnd * 40503)
+        bit = (h >> 13) & 1
+        ok = (bit[who] == 0) & (bit[bestp] == 1) \
+            & (sizes[who] + sizes[bestp] <= cap)
+        if not ok.any():
+            continue
+        labmap = np.arange(n, dtype=np.int64)
+        labmap[who[ok]] = bestp[ok]
+        labels = labmap[labels]
+    return labels
+
+
+def _pack_groups(labels: np.ndarray, within_pos: np.ndarray,
+                 num_nodes: int, band_h: int) -> np.ndarray:
+    """Order nodes so each ``band_h``-row bin sees whole label groups:
+    groups sorted by size descending, first-fit-decreasing into bins of
+    ``band_h``-multiple capacity; exact-multiple bins lead so alignment
+    survives.  ``within_pos`` orders members inside a group."""
+    order = np.lexsort((within_pos, labels))
+    lab_sorted = labels[order]
+    gb = np.flatnonzero(np.concatenate(
+        [[True], lab_sorted[1:] != lab_sorted[:-1]]))
+    gsizes = np.diff(np.append(gb, num_nodes))
+    gorder = np.argsort(-gsizes, kind="stable")
+    units: list = []
+    free: list = []
+    for g in gorder:
+        s = int(gsizes[g])
+        for u in range(len(units)):
+            if free[u] >= s:
+                units[u].append(g)
+                free[u] -= s
+                break
+        else:
+            units.append([g])
+            free.append(-(-s // band_h) * band_h - s)
+    unit_rows = [
+        sum(int(gsizes[g]) for g in u) for u in units
+    ]
+    layout = sorted(range(len(units)),
+                    key=lambda u: (unit_rows[u] % band_h != 0, u))
+    out = np.empty(num_nodes, dtype=np.int32)
+    pos = 0
+    for u in layout:
+        for g in units[u]:
+            s = int(gsizes[g])
+            out[pos: pos + s] = order[gb[g]: gb[g] + s]
+            pos += s
+    return out
+
+
+def cluster_reorder(row_pointers, column_index, num_nodes: int,
+                    band_h: int = 256, iters: int = 30) -> np.ndarray:
+    """Community-locality ordering for the banded path on *mixed*
+    clustered graphs (DC-SBM / social networks), where RCM fails: a few
+    percent of inter-community edges destroy BFS layering and RCM
+    bandwidth blows up to O(N) even though ~all mass is block-local
+    (measured: extent_q50 67k post-RCM on the DD stand-in whose
+    communities are <=480 nodes).
+
+    Label propagation discovers the communities; communities are packed
+    whole into ``band_h`` bins (first-fit decreasing, as pack_reorder
+    does with connected components); inside a community members keep
+    their global-RCM relative order so multi-bin communities stay
+    banded.  The mixing edges spill (format.plan band_spill).
+
+    TPU-design note: this is the band-path analog of the reference's
+    LOA objective (LOI.cpp:660-805 regroups rows for window density;
+    here rows regroup for superwindow extent).
+    """
+    labels = _agglomerate_labels(row_pointers, column_index, num_nodes,
+                                 rounds=iters)
+    rcm = rcm_reorder(row_pointers, column_index, num_nodes)
+    rcm_pos = np.empty(num_nodes, dtype=np.int64)
+    rcm_pos[rcm] = np.arange(num_nodes)
+    return _pack_groups(labels, rcm_pos, num_nodes, band_h)
+
+
 def apply_permutation(row_pointers, column_index, num_nodes: int,
                       perm: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """Relabel vertices: returns CSR of ``A[perm][:, perm]``.

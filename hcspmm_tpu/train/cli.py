@@ -48,10 +48,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bucket-widths", type=str, default="32,64,96,128,192,256",
                    help="comma-separated dense window width buckets")
     p.add_argument("--reorder", type=str, default="none",
-                   choices=["none", "loa", "rcm"],
+                   choices=["none", "loa", "rcm", "cluster"],
                    help="graph layout reordering (LOA = reference LOI.cpp "
-                        "greedy; rcm = bandwidth-minimizing for the banded "
-                        "path)")
+                        "greedy; rcm = bandwidth-minimizing; cluster = "
+                        "community agglomeration + packing for the banded "
+                        "path on mixed clustered graphs)")
     p.add_argument("--synthetic-nodes", type=int, default=65536)
     p.add_argument("--synthetic-degree", type=float, default=8.0)
     p.add_argument("--checkpoint", type=str, default="")
@@ -117,8 +118,8 @@ def main(argv=None) -> int:
     if args.reorder != "none":
         from hcspmm_tpu.format import reorder as _reorder
 
-        fn = (_reorder.loa_reorder if args.reorder == "loa"
-              else _reorder.rcm_reorder)
+        fn = {"loa": _reorder.loa_reorder, "rcm": _reorder.rcm_reorder,
+              "cluster": _reorder.cluster_reorder}[args.reorder]
         perm = fn(ds.row_pointers, ds.column_index, ds.num_nodes)
         ds = ds.permuted(perm)
         reorder_ms = (time.perf_counter() - start) * 1e3

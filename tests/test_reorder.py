@@ -123,3 +123,40 @@ def test_pack_reorder_valid_and_band_friendly():
     rp_r, ci_r = reorder.apply_permutation(
         rp, ci, n, reorder.rcm_reorder(rp, ci, n))
     assert mean_extent(rp_p, ci_p) <= mean_extent(rp_r, ci_r) * 1.05
+
+
+def test_cluster_reorder_valid_and_recovers_communities():
+    """cluster_reorder on a DC-SBM graph: valid permutation, members of
+    discovered communities contiguous, and band locality far better than
+    RCM (the regime RCM fails: a few % mixing edges destroy BFS
+    layering; see reorder.cluster_reorder docstring)."""
+    src, dst, n = io.synthetic_dcsbm(
+        8192, 6.0, mixing=0.1, comm_min=32, comm_max=200, seed=5
+    )
+    rp, ci = io.to_csr(src, dst, n)
+    perm = reorder.cluster_reorder(rp, ci, n, band_h=256)
+    assert len(np.unique(perm)) == n  # valid permutation
+
+    rp2, ci2 = reorder.apply_permutation(rp, ci, n, perm)
+    e_row = np.repeat(np.arange(n), np.diff(rp2))
+    near = np.abs(ci2.astype(np.int64) - e_row) <= 1024
+    rpr, cir = reorder.apply_permutation(
+        rp, ci, n, reorder.rcm_reorder(rp, ci, n))
+    e_row_r = np.repeat(np.arange(n), np.diff(rpr))
+    near_r = np.abs(cir.astype(np.int64) - e_row_r) <= 1024
+    assert near.mean() > 0.75, near.mean()
+    assert near.mean() > near_r.mean() + 0.1, (near.mean(), near_r.mean())
+
+
+def test_agglomerate_respects_cap_roughly():
+    src, dst, n = io.synthetic_dcsbm(
+        4096, 6.0, mixing=0.2, comm_min=32, comm_max=128, seed=1
+    )
+    rp, ci = io.to_csr(src, dst, n)
+    lab = reorder._agglomerate_labels(rp, ci, n, cap=256, rounds=30)
+    _, c = np.unique(lab, return_counts=True)
+    # same-round fan-in can overshoot the cap, but boundedly
+    assert c.max() <= 2 * 256, c.max()
+    # most edges intra-cluster on a clustered graph
+    e_row = np.repeat(np.arange(n), np.diff(rp))
+    assert (lab[e_row] == lab[ci]).mean() > 0.6

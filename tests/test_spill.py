@@ -153,3 +153,38 @@ def test_spill_fused_ops_match_composed(layer):
     for got, ref_ in ((gx, gx_ref), (gw, gw_ref)):
         scale = np.abs(ref_).max() + 1e-9
         assert np.abs(np.asarray(got) - ref_).max() / scale < 1e-4
+
+
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+def test_bucket_windows_inside_banded_supers(impl):
+    """Per-window routing (format.plan pass 1): TC-suitable windows whose
+    columns sit far outside the placed band window route to the dense
+    buckets while sibling windows stay banded, and the merged output
+    matches the dense oracle exactly (choice exercised: band + bucket +
+    spill in one plan)."""
+    rng = np.random.RandomState(0)
+    n = 2048
+    src, dst = [], []
+    for s in range(0, n, 256):
+        base = (s * 2897) % (n - 128)
+        far = np.arange(base, base + 24)
+        for w in range(0, 128, 16):
+            for r in range(s + w, s + w + 16):
+                cols = rng.choice(far, size=12, replace=False)
+                src.extend([r] * 12)
+                dst.extend(cols)
+        for r in range(s + 128, min(s + 256, n)):
+            cols = s + 128 + rng.randint(0, 128, size=6)
+            src.extend([r] * 6)
+            dst.extend(cols)
+    rp, ci = io.to_csr(np.array(src), np.array(dst), n)
+    cfg = PlanConfig(loi_mode="all_dense", impl=impl, band_mode="auto",
+                     band_h=256, band_widths=(256,))
+    op = HybridSpMM(rp, ci, n, cfg)
+    p = op.plan
+    assert p.band_nnz > 0 and p.dense_nnz > 0, (p.band_nnz, p.dense_nnz)
+    x = jnp.asarray(rng.randn(n, 32).astype(np.float32))
+    ref = spmm_reference_dense(rp, ci, n, np.asarray(x))
+    out = np.asarray(op.apply(op.arrays, x))
+    scale = np.abs(ref).max() + 1e-9
+    assert np.abs(out - ref).max() / scale < 1e-5
