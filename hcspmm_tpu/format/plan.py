@@ -150,6 +150,10 @@ class ExecutionPlan:
     #   int64 [Sb_real] global superwindow ids
     band_full_cover: bool = False  # every superwindow band-assigned ->
     #   direct-write kernels produce the output in place, no merge pass
+    shard_uniform: bool = False  # proxy plan standing in for N capacity-
+    #   padded shard plans under one shard_map trace: kernel dispatch may
+    #   consult only capacity shapes (never per-shard real counts), and
+    #   direct-write kernels must always allocate the trash block
     xp_rows: int = 0            # SpMM impls pad X to >= this many rows
 
     # ---- tiled band (band_impl='tiled'): flat (super, X-tile) pairs ----

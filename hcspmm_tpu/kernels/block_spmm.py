@@ -845,6 +845,12 @@ def spmm_pallas(arrs, x, plan, compute_dtype):
     # place; no concat, no merge gather (saves two full output passes).
     # Capacity-padded dummy supers write into a trailing trash block.
     full_direct = plan.band_full_cover
+    # shard_uniform proxies stand in for N capacity-padded shard plans
+    # under ONE shard_map trace: dispatch may consult only capacity
+    # shapes (identical on every shard), never per-shard real counts
+    # like band_sw_ids lengths, and direct-write calls must always
+    # allocate the trash block (any shard may carry capacity padding).
+    uniform = getattr(plan, "shard_uniform", False)
     if full_direct:
         # (lane dim must stay 128-padded: Mosaic rejects DMA refs whose
         # lane extent is not a tile multiple, even unsliced.  The final
@@ -853,7 +859,9 @@ def spmm_pallas(arrs, x, plan, compute_dtype):
         nonempty = [s for s in range(len(plan.band_widths))
                     if arrs[f"band{s}_start"].shape[0] > 0]
         if len(nonempty) == 1 and (
-            len(plan.band_sw_ids[nonempty[0]]) == num_sw
+            arrs[f"band{nonempty[0]}_start"].shape[0] == num_sw
+            if uniform
+            else len(plan.band_sw_ids[nonempty[0]]) == num_sw
         ):
             # single bucket covering every superwindow: one no-alias
             # direct-write call; capacity-padded dummy supers carry
@@ -874,12 +882,17 @@ def spmm_pallas(arrs, x, plan, compute_dtype):
         # defensive copies measured ~2x the single-bucket kernel.
         # Capacity-padded sw_ids carry num_sw and are dropped by the
         # scatter's out-of-bounds mode (trash block on the main call).
-        s_main = max(nonempty, key=lambda s: len(plan.band_sw_ids[s]))
+        s_main = max(
+            nonempty,
+            key=lambda s: (arrs[f"band{s}_start"].shape[0] if uniform
+                           else len(plan.band_sw_ids[s])),
+        )
         buf = band_bucket_spmm_direct(
             arrs[f"band{s_main}_sw"], arrs[f"band{s_main}_start"],
             arrs[f"band{s_main}_a"], xp_band, num_sw, x.dtype,
-            trash=(arrs[f"band{s_main}_start"].shape[0]
-                   > len(plan.band_sw_ids[s_main])),
+            trash=True if uniform else (
+                arrs[f"band{s_main}_start"].shape[0]
+                > len(plan.band_sw_ids[s_main])),
         )
         for s in nonempty:
             if s == s_main:

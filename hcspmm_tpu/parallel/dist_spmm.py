@@ -36,19 +36,26 @@ def _local_spmm(arrs, x_view, sharded: ShardedPlan, compute_dtype):
         # Shard-local compute through the same Pallas kernels as the
         # single-chip path.  One shard_map program serves every shard, so
         # the trace must be shard-uniform: the proxy plan pins the
-        # caps-uniform metadata and forces the generic (non-direct-write)
-        # branch — the full-cover fast path gates on per-shard realities
-        # (coverage, sw counts) that differ across shards.
+        # caps-uniform metadata and sets ``shard_uniform`` so kernel
+        # dispatch consults only capacity shapes (identical on every
+        # shard), never per-shard real counts.  When every shard is
+        # band-full-cover, shards run the same direct-write fast path as
+        # the single chip (capacity-padded dummy supers land in the trash
+        # block); otherwise the generic concat+permute branch runs.
         import dataclasses as _dc
 
         from hcspmm_tpu.kernels.block_spmm import spmm_pallas
 
         proxy = _dc.replace(
             sharded.plans[0],
-            band_full_cover=False,
+            band_full_cover=all(p.band_full_cover for p in sharded.plans),
+            shard_uniform=True,
             tiled=False,
             xp_rows=sharded.xp_rows,
             num_sparse_rows=sharded.num_sparse_rows,
+            num_spill_rows=sharded.num_spill_rows,
+            num_spill_edges=(max(p.num_spill_edges for p in sharded.plans)
+                             if sharded.num_spill_rows else 0),
         )
         return spmm_pallas(arrs, x_view, proxy, compute_dtype)
     return _spmm_xla(
@@ -88,8 +95,7 @@ def make_dist_spmm(
     elif sharded.mode == "band_halo":
         hb = sharded.halo_pair
 
-        def body(arrs, x_local):
-            arrs = jax.tree.map(lambda a: a[0], arrs)
+        def _strips(x_local):
             # two fixed-size boundary-strip exchanges over ICI; the local
             # view [prev strip | own | next strip] stays contiguous so the
             # banded MXU path runs unchanged on shards
@@ -101,8 +107,31 @@ def make_dist_spmm(
                 x_local[:hb], axis,
                 [(j, (j - 1) % s) for j in range(s)],
             )
-            x_view = jnp.concatenate([prev_strip, x_local, next_strip], axis=0)
-            return _local_spmm(arrs, x_view, sharded, cd)
+            return [prev_strip, x_local, next_strip]
+
+        if sharded.far_pair:
+            # hybrid: out-of-strip references (hubs, inter-community
+            # edges) arrive via index-gather ppermute rounds appended
+            # after the strips; the plan routes their edges to the
+            # band+spill population, so band kernels never see them
+            def body(arrs, x_local, send_idx_l):
+                arrs = jax.tree.map(lambda a: a[0], arrs)
+                send_idx_l = send_idx_l[0]          # [S-1, H]
+                parts = _strips(x_local)
+                for r in range(s - 1):
+                    buf = jnp.take(x_local, send_idx_l[r], axis=0)
+                    perm = [(j, (j + r + 1) % s) for j in range(s)]
+                    parts.append(jax.lax.ppermute(buf, axis, perm))
+                # [prev | own | next | halo rounds]: strip-relative ids
+                # stay valid, far columns index the appended region
+                x_view = jnp.concatenate(parts, axis=0)
+                return _local_spmm(arrs, x_view, sharded, cd)
+        else:
+
+            def body(arrs, x_local):
+                arrs = jax.tree.map(lambda a: a[0], arrs)
+                x_view = jnp.concatenate(_strips(x_local), axis=0)
+                return _local_spmm(arrs, x_view, sharded, cd)
 
     elif sharded.mode == "halo":
         send_idx = jnp.asarray(sharded.send_idx)
@@ -124,7 +153,7 @@ def make_dist_spmm(
     else:
         raise ValueError(sharded.mode)
 
-    if sharded.mode in ("allgather", "band_halo"):
+    if sharded.send_idx is None:
         mapped = shard_map(
             body, mesh=mesh,
             in_specs=(jax.tree.map(lambda _: P(axis), stacked), P(axis)),

@@ -59,6 +59,9 @@ class ShardedPlan:
     halo_pair: int = 0                      # H: rows exchanged per shard pair
     send_idx: Optional[np.ndarray] = None   # int32 [S, S-1, H] local rows owner
                                             # sends in round r (to shard i+r+1)
+    far_pair: int = 0   # band_halo only: out-of-strip rows gathered per
+    #                     shard pair (index-halo feeding the spill
+    #                     population); 0 = pure boundary-strip exchange
     plans: Optional[List[ExecutionPlan]] = None  # host-side, for stats
     impl: str = "xla"   # shard-local compute: 'xla' | 'pallas'
     num_spill_rows: int = 0  # uniform band+spill capacity (0 = absent)
@@ -163,6 +166,7 @@ def build_sharded_plan(
             num_spill_edges=max(p.num_spill_edges for p in probe),
         )
 
+    far_pair = 0
     if mode == "allgather":
         probe = shard_plans(lambda s: n_padded)
         plans = shard_plans(lambda s: n_padded, caps=caps_of(probe))
@@ -189,29 +193,68 @@ def build_sharded_plan(
                 "mode='allgather'"
             )
         halo_pair = hb
-        send_idx = None
+        # Out-of-strip references (hub edges, inter-community edges on
+        # power-law graphs) degrade to an index-gather halo feeding the
+        # plan's band+spill population instead of failing the mode: the
+        # extra rows are appended after the strips, so the banded view
+        # stays contiguous and the MXU path runs unchanged.  With
+        # band_spill='never' the strict contract (raise) is kept.
+        far_need: List[List[np.ndarray]] = []
         for i in range(num_shards):
             lo = min(i * rows_per, num_nodes)
             hi = min((i + 1) * rows_per, num_nodes)
-            if rp[lo] < rp[hi]:
-                cmin = int(ci[rp[lo]: rp[hi]].min())
-                cmax = int(ci[rp[lo]: rp[hi]].max())
-                if cmin < i * rows_per - hb or cmax >= (i + 1) * rows_per + hb:
-                    raise ValueError(
-                        f"shard {i} references columns outside its +-{hb}"
-                        " halo window; reorder the graph (rcm/pack) or use"
-                        " mode='halo'/'allgather'"
-                    )
+            cols = np.unique(ci[rp[lo]: rp[hi]].astype(np.int64))
+            far = cols[(cols < i * rows_per - hb)
+                       | (cols >= (i + 1) * rows_per + hb)]
+            if len(far) and config.band_spill == "never":
+                raise ValueError(
+                    f"shard {i} references columns outside its +-{hb}"
+                    " halo window; reorder the graph (rcm/pack/cluster),"
+                    " enable band_spill='auto', or use"
+                    " mode='halo'/'allgather'"
+                )
+            owners = far // rows_per
+            far_need.append([
+                np.sort(far[owners == j]) for j in range(num_shards)
+            ])
+        far_pair = max(
+            (len(far_need[i][j]) for i in range(num_shards)
+             for j in range(num_shards) if j != i),
+            default=0,
+        )
+        if far_pair:
+            send_idx = np.zeros((num_shards, num_shards - 1, far_pair),
+                                np.int32)
+            for j in range(num_shards):
+                for r in range(num_shards - 1):
+                    i = (j + r + 1) % num_shards
+                    rows = far_need[i][j] - j * rows_per
+                    send_idx[j, r, : len(rows)] = rows
+        else:
+            send_idx = None
+
+        strip_cols = rows_per + 2 * hb
 
         def remap_band(i: int, lci: np.ndarray) -> np.ndarray:
-            return (lci.astype(np.int64) - (i * rows_per - hb)).astype(np.int32)
+            lut_base = lci.astype(np.int64) - (i * rows_per - hb)
+            if far_pair:
+                # out-of-strip columns -> their slot in the gathered halo
+                # region [strip_cols, strip_cols + (S-1)*far_pair)
+                lut = np.full(n_padded, -1, np.int64)
+                for j in range(num_shards):
+                    if j == i or not len(far_need[i][j]):
+                        continue
+                    rcv_round = (i - j) % num_shards  # in 1..S-1
+                    base = strip_cols + (rcv_round - 1) * far_pair
+                    lut[far_need[i][j]] = base + np.arange(
+                        len(far_need[i][j]))
+                mapped = lut[lci.astype(np.int64)]
+                lut_base = np.where(mapped >= 0, mapped, lut_base)
+            return lut_base.astype(np.int32)
 
-        local_cols = rows_per + 2 * hb
+        local_cols = strip_cols + (num_shards - 1) * far_pair
         probe = shard_plans(lambda s: local_cols, remap_band)
         plans = shard_plans(lambda s: local_cols, remap_band, caps_of(probe))
-        assert all(max(p.band_widths, default=0) <= hb for p in plans), (
-            "plan band widths exceed the halo strip; rounding rules of "
-            "build_plan and band_halo diverged")
     elif mode == "halo":
         # Needed remote rows per (requester i, owner j != i).
         need: List[List[np.ndarray]] = []
@@ -284,7 +327,8 @@ def build_sharded_plan(
         mode=mode,
         stacked=stacked,
         halo_pair=halo_pair if mode in ("halo", "band_halo") else 0,
-        send_idx=send_idx if mode == "halo" else None,
+        send_idx=send_idx if mode in ("halo", "band_halo") else None,
+        far_pair=far_pair if mode == "band_halo" else 0,
         plans=plans,
         impl=config.impl,
     )

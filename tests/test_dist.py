@@ -156,7 +156,8 @@ def test_band_halo_matches_oracle():
     assert np.isfinite(np.asarray(g)).all()
 
 
-def test_band_halo_rejects_out_of_window_columns():
+def test_band_halo_strict_rejects_out_of_window_columns():
+    """band_spill='never' keeps the strict boundary-strip contract."""
     import pytest
 
     from hcspmm_tpu.config import PlanConfig
@@ -168,8 +169,42 @@ def test_band_halo_rejects_out_of_window_columns():
     rp, ci = io.to_csr(src, dst, nn)
     with pytest.raises(ValueError, match="halo window"):
         build_sharded_plan(rp, ci, nn, 4,
-                           PlanConfig(band_widths=(128,), band_h=64),
+                           PlanConfig(band_widths=(128,), band_h=64,
+                                      band_spill="never"),
                            mode="band_halo")
+
+
+def test_band_halo_far_edges_degrade_to_index_halo():
+    """Out-of-strip edges (hubs / inter-community) no longer kill the
+    band_halo mode: they ride an index-gather ppermute round into the
+    spill population (VERDICT r1: degrade, don't raise)."""
+    from hcspmm_tpu.graphs import io
+    from hcspmm_tpu.format import reorder as _ro
+
+    rng = np.random.RandomState(3)
+    src, dst, nn = io.synthetic_blocks(2048, 6, block_size=64, seed=5)
+    # sprinkle long-range edges crossing all shard boundaries
+    far_s = rng.randint(0, nn, 64)
+    far_d = (far_s + nn // 2) % nn
+    src = np.concatenate([src, far_s, far_d])
+    dst = np.concatenate([dst, far_d, far_s])
+    rp, ci = io.to_csr(src, dst, nn)
+    x = rng.randn(nn, 16).astype(np.float32)
+
+    mesh = make_mesh(4)
+    cfg = PlanConfig(band_mode="always", band_h=64,
+                     band_widths=(128, 256), impl="pallas")
+    op = DistHybridSpMM(rp, ci, nn, mesh, config=cfg, mode="band_halo")
+    assert op.sharded.far_pair > 0
+    assert op.sharded.num_spill_rows > 0
+    z = np.asarray(op(jax.device_put(op.pad(x), op.sharding)))[:nn]
+    ref = spmm_reference_dense(rp, ci, nn, x)
+    np.testing.assert_allclose(z, ref, rtol=1e-4, atol=1e-4)
+
+    # gradient flows through strips + gather rounds
+    xs = jnp.asarray(jax.device_put(op.pad(x), op.sharding))
+    g = jax.grad(lambda v: (op.apply(op.arrays, v) ** 2).sum())(xs)
+    assert np.isfinite(np.asarray(g)).all()
 
 
 import pytest
@@ -202,4 +237,64 @@ def test_dist_pallas_local_compute_matches_oracle(mode):
     assert op.sharded.impl == "pallas"
     z = np.asarray(op(jax.device_put(op.pad(x), op.sharding)))[:nn]
     ref = spmm_reference_dense(rp, ci, nn, x)
+    np.testing.assert_allclose(z, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_dist_shard_uniform_fast_path_single_bucket():
+    """All shards band-full-cover with one bucket: the shard_map trace
+    runs the same direct-write fast path as the single chip (the proxy
+    plan's dispatch consults only capacity shapes)."""
+    from hcspmm_tpu.graphs import io
+    from hcspmm_tpu.format import reorder as _ro
+
+    src, dst, nn = io.synthetic_blocks(2048, 6, block_size=64, seed=5)
+    rp, ci = io.to_csr(src, dst, nn)
+    perm = _ro.rcm_reorder(rp, ci, nn)
+    rp, ci = _ro.apply_permutation(rp, ci, nn, perm)
+    x = np.random.RandomState(0).randn(nn, 16).astype(np.float32)
+
+    mesh = make_mesh(4)
+    cfg = PlanConfig(band_mode="always", band_h=64,
+                     band_widths=(128, 256), impl="pallas")
+    op = DistHybridSpMM(rp, ci, nn, mesh, config=cfg, mode="band_halo")
+    assert all(p.band_full_cover for p in op.sharded.plans)
+    z = np.asarray(op(jax.device_put(op.pad(x), op.sharding)))[:nn]
+    ref = spmm_reference_dense(rp, ci, nn, x)
+    np.testing.assert_allclose(z, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_dist_shard_uniform_fast_path_uneven_buckets_and_spill():
+    """The hard shard-uniform case: shards resolve DIFFERENT band-width
+    buckets ([8,0] vs [0,8] real counts under equal capacities), so every
+    shard carries capacity-padded dummy supers (trash block) in one
+    bucket, plus a band+spill population.  Must still match the oracle
+    through the multi-bucket direct-write + scatter path."""
+    from hcspmm_tpu.graphs import io
+
+    rng = np.random.RandomState(0)
+    n = 2048
+    parts = []
+    for lo in range(0, 1024, 64):       # tight blocks -> 128-wide bucket
+        m = 64
+        parts.append((rng.randint(lo, lo + m, 6 * m),
+                      rng.randint(lo, lo + m, 6 * m)))
+    for lo in range(1024, 2048, 200):   # wide blocks -> 256-wide bucket
+        m = min(200, 2048 - lo)
+        parts.append((rng.randint(lo, lo + m, 6 * m),
+                      rng.randint(lo, lo + m, 6 * m)))
+    rows = np.concatenate([p[0] for p in parts])
+    cols = np.concatenate([p[1] for p in parts])
+    rp, ci = io.to_csr(rows, cols, n)
+    x = rng.randn(n, 16).astype(np.float32)
+
+    mesh = make_mesh(4)
+    cfg = PlanConfig(band_mode="always", band_h=64,
+                     band_widths=(128, 256), impl="pallas")
+    op = DistHybridSpMM(rp, ci, n, mesh, config=cfg, mode="allgather")
+    assert all(p.band_full_cover for p in op.sharded.plans)
+    counts = [[len(s) for s in p.band_sw_ids] for p in op.sharded.plans]
+    assert len({tuple(c) for c in counts}) > 1, (
+        "fixture regressed: shards no longer resolve different buckets")
+    z = np.asarray(op(jax.device_put(op.pad(x), op.sharding)))[:n]
+    ref = spmm_reference_dense(rp, ci, n, x)
     np.testing.assert_allclose(z, ref, rtol=1e-4, atol=1e-4)
