@@ -131,6 +131,7 @@ def fit_logistic(
     l2: float = 1e-4,
     seed: int = 0,
     max_cols: int = 256,
+    weights: np.ndarray | None = None,
 ) -> LOICoefficients:
     """Plain NumPy logistic regression (no sklearn in the image).
 
@@ -141,6 +142,11 @@ def fit_logistic(
     everywhere — see config.LOI_TPU_V5E)."""
     x = np.asarray(features, dtype=np.float64)
     y = np.asarray(labels, dtype=np.float64)
+    # sample weights (e.g. window counts per mixture bin) normalized to
+    # mean 1 so lr/l2 keep their scale
+    sw = (np.ones(len(y)) if weights is None
+          else np.asarray(weights, np.float64) * len(y)
+          / max(float(np.sum(weights)), 1e-12))
     mu, sd = x.mean(0), x.std(0) + 1e-9
     xn = (x - mu) / sd
     w = np.zeros(2)
@@ -149,7 +155,7 @@ def fit_logistic(
     for _ in range(steps):
         z = xn @ w + b
         p = 1.0 / (1.0 + np.exp(-z))
-        g = p - y
+        g = (p - y) * sw
         gw = xn.T @ g / n + l2 * w
         gb = g.mean()
         w -= lr * gw

@@ -61,8 +61,27 @@ def epoch_time(step_fn, params, opt_state, x, y, rng, k1=2, k2=8, trials=3):
     return diffs[len(diffs) // 2] / (k2 - k1)
 
 
+def make_graph(spec, nodes, degree, block, seed=7):
+    """'blocks' | 'standin:KEY[@scale]' | 'powerlaw' -> (rp, ci, n, dim)."""
+    from hcspmm_tpu.graphs import io
+
+    dim = None
+    if spec == "blocks":
+        src, dst, nn = io.synthetic_blocks(nodes, degree, block, seed=seed)
+    elif spec == "powerlaw":
+        src, dst, nn = io.synthetic_powerlaw(nodes, degree, seed=seed)
+    elif spec.startswith("standin:"):
+        key, _, sc = spec[len("standin:"):].partition("@")
+        src, dst, nn, dim = io.reference_standin(
+            key, seed=seed, scale=float(sc) if sc else 1.0)
+    else:
+        raise ValueError(f"unknown graph spec {spec}")
+    rp, ci = io.to_csr(src, dst, nn)
+    return rp, ci, nn, dim
+
+
 def run_config(name, model, layers, hidden, dim, classes, nodes, degree,
-               block, impl, dtype, band, reorder_mode):
+               block, impl, dtype, band, reorder_mode, graph="blocks"):
     import jax
     import jax.numpy as jnp
     import optax
@@ -73,14 +92,14 @@ def run_config(name, model, layers, hidden, dim, classes, nodes, degree,
     from hcspmm_tpu.ops.spmm import HybridSpMM
     from hcspmm_tpu.train.loop import make_train_step
 
-    src, dst, nn = io.synthetic_blocks(nodes, degree, block, seed=7)
-    rp, ci = io.to_csr(src, dst, nn)
+    rp, ci, nn, g_dim = make_graph(graph, nodes, degree, block)
+    dim = g_dim or dim
     nnz = int(rp[-1])
     if reorder_mode != "none":
         from hcspmm_tpu.format import reorder as _ro
 
-        perm = (_ro.rcm_reorder if reorder_mode == "rcm"
-                else _ro.loa_reorder)(rp, ci, nn)
+        perm = {"rcm": _ro.rcm_reorder, "loa": _ro.loa_reorder,
+                "cluster": _ro.cluster_reorder}[reorder_mode](rp, ci, nn)
         rp, ci = _ro.apply_permutation(rp, ci, nn, perm)
 
     t0 = time.perf_counter()
@@ -106,10 +125,12 @@ def run_config(name, model, layers, hidden, dim, classes, nodes, degree,
     rec = {
         "config": name, "model": model, "layers": layers, "hidden": hidden,
         "dim": dim, "nodes": nn, "nnz": nnz, "impl": impl, "dtype": dtype,
-        "band": band, "reorder": reorder_mode,
+        "band": band, "reorder": reorder_mode, "graph": graph,
         "epoch_ms": round(dur * 1e3, 3),
         "prep_s": round(prep_s, 3),
         "band_nnz_frac": round(op.plan.band_nnz / max(op.plan.nnz, 1), 3),
+        "spill_nnz_frac": round(
+            getattr(op.plan, "spill_nnz", 0) / max(op.plan.nnz, 1), 3),
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(rec), flush=True)
@@ -125,11 +146,14 @@ def main() -> int:
     p.add_argument("--impl", type=str, default="pallas")
     p.add_argument("--dtype", type=str, default="bfloat16")
     p.add_argument("--reorder", type=str, default="rcm")
+    p.add_argument("--scale", type=float, default=1.0,
+                   help="stand-in graph scale for the baseline configs")
     args = p.parse_args()
 
     from hcspmm_tpu.train.cli import enable_compile_cache
 
     enable_compile_cache()
+    sc = f"@{args.scale}" if args.scale != 1.0 else ""
 
     for name in args.configs.split(","):
         if name == "gcn2":
@@ -143,6 +167,23 @@ def main() -> int:
                 run_config(f"loi-band-{band}", "gcn", 2, 32, 96, 22,
                            args.nodes, args.degree, args.block, args.impl,
                            args.dtype, band, args.reorder)
+        # ---- BASELINE.json configs on Table II-matched stand-ins ----
+        elif name == "gcn2_arxiv":
+            # 2-layer GCN on ogbn-arxiv (BASELINE configs[1]); 40 classes
+            run_config("gcn2_arxiv", "gcn", 2, 32, 128, 40, 0, 0, 0,
+                       args.impl, args.dtype, "auto", "cluster",
+                       graph=f"standin:ARXIV{sc}")
+        elif name == "gin5_rd":
+            # 5-layer GIN hidden=64 on Reddit (BASELINE configs[2])
+            run_config("gin5_rd", "gin", 5, 64, 602, 41, 0, 0, 0,
+                       args.impl, args.dtype, "auto", "cluster",
+                       graph=f"standin:RD{sc}")
+        elif name == "loi_products":
+            # LOI threshold ablation on ogbn-products (BASELINE configs[3])
+            for band in ("auto", "always", "never"):
+                run_config(f"loi_products-band-{band}", "gcn", 2, 32, 100,
+                           47, 0, 0, 0, args.impl, args.dtype, band,
+                           "cluster", graph=f"standin:PRODUCTS{sc}")
         else:
             print(f"unknown config {name}", file=sys.stderr)
     return 0
