@@ -62,6 +62,9 @@ def main() -> int:
     band_h = int(os.environ.get("HCSPMM_BENCH_BAND_H", 256))
     band_widths = os.environ.get("HCSPMM_BENCH_BAND_WIDTHS", "")  # "" = auto
     band_impl = os.environ.get("HCSPMM_BENCH_BAND_IMPL", "wide")
+    # narrow-dim folded layout (config.band_fold): fold=4 packs 4 rows
+    # per 128-lane VMEM row for dim<=32 (the reference SAG shape)
+    band_fold = int(os.environ.get("HCSPMM_BENCH_FOLD", 1))
 
     import jax
 
@@ -113,6 +116,8 @@ def main() -> int:
         extra["band_h"] = band_h
     if band_widths:
         extra["band_widths"] = tuple(int(v) for v in band_widths.split(","))
+    if band_fold > 1:
+        extra["band_fold"] = band_fold
     cfg = PlanConfig(loi_mode=mode, compute_dtype=dtype, impl=impl,
                      band_mode=band, band_impl=band_impl, **extra)
     op = HybridSpMM(rp, ci, nn, cfg)
@@ -167,11 +172,14 @@ def main() -> int:
             + int(plan.pair_fetch.sum()) * plan.tile_w * dp * xbytes  # X
         )
     else:
+        # folded layouts stream X/output at 1/fold of the lane-padded
+        # footprint (A is unchanged)
+        fold = getattr(plan, "band_fold", 1)
         band_bytes = sum(
             len(plan.band_sw_ids[s])
             * (plan.band_h * plan.band_widths[s])         # A int8
             + len(plan.band_sw_ids[s])
-            * (plan.band_widths[s] * dp * xbytes)         # X band
+            * (plan.band_widths[s] * dp * xbytes // fold)  # X band
             for s in range(len(plan.band_widths))
         )
     # gather-path traffic (nonzero when coverage is partial / band off):
@@ -189,7 +197,8 @@ def main() -> int:
         for b in range(len(plan.bucket_widths))
     )
     gather_bytes = gather_rows * dp * 4 + dense_a_bytes
-    total_bytes = band_bytes + gather_bytes + nn * dp * xbytes  # + output
+    out_bytes = nn * dp * xbytes // getattr(plan, "band_fold", 1)
+    total_bytes = band_bytes + gather_bytes + out_bytes  # + output
     hbm_gbps = 970.0  # measured effective on this chip (tools/profile_band)
     roofline_us = total_bytes / hbm_gbps / 1e3
     print(
@@ -216,6 +225,7 @@ def main() -> int:
                 "sparse_nnz": plan.sparse_nnz,
                 "spill_nnz": plan.spill_nnz,
                 "band_widths": list(plan.band_widths),
+                "band_fold": getattr(plan, "band_fold", 1),
                 "total_windows": (nn + 15) // 16,
                 "prep_s": round(prep_s, 3),
                 "reorder_s": round(reorder_s, 3),

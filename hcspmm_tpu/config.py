@@ -142,6 +142,14 @@ class PlanConfig:
     # (N x band width) dominate band-path HBM traffic on low-degree
     # graphs; int4 halves them (values are {0,1}, so 4 bits are plenty).
     a_dtype: str = "int8"
+    # Narrow-dim folded layout (VERDICT r1 #2, reference dim-32 fast path
+    # .cu:1321-1476): fold consecutive rows of X/output into one 128-lane
+    # VMEM row (fold=4 -> 32 lanes per row), so dim <= 128/fold stops
+    # paying the 128-lane floor — X + output band traffic shrink fold x
+    # while the A stream is unchanged.  Requires impl='pallas', band
+    # coverage via band_spill='auto' (clamp alignment may spill a few
+    # edges), and every model dim <= 128/fold.  1 = off.
+    band_fold: int = 1
     # Cost-model constants for the band-vs-gather decision, measured on
     # v5e.  Gathered rows (ELL slots / spill edges) go through the random
     # row-gather path whose measured effective bandwidth is take_gbps

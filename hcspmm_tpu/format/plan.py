@@ -150,6 +150,11 @@ class ExecutionPlan:
     #   int64 [Sb_real] global superwindow ids
     band_full_cover: bool = False  # every superwindow band-assigned ->
     #   direct-write kernels produce the output in place, no merge pass
+    band_fold: int = 1  # narrow-dim folded layout (config.band_fold):
+    #   activations fold ``band_fold`` consecutive rows into one 128-lane
+    #   VMEM row; band starts stay in ORIGINAL columns (16*fold-aligned),
+    #   A blocks keep their natural [Sb, bh, Bb] layout (see
+    #   kernels.block_spmm._band_body_deep)
     shard_uniform: bool = False  # proxy plan standing in for N capacity-
     #   padded shard plans under one shard_map trace: kernel dispatch may
     #   consult only capacity shapes (never per-shard real counts), and
@@ -354,8 +359,8 @@ def _robust_widths(keys, e_start, e_end, ne, qs):
     return out
 
 
-def _place_band_windows(keys, starts_ne, w):
-    """Best 16-aligned window of width ``w`` per nonempty superwindow:
+def _place_band_windows(keys, starts_ne, w, align=16):
+    """Best ``align``-aligned window of width ``w`` per nonempty superwindow:
     the placement that covers the most edges (candidates = the aligned
     start at-or-below each edge column).  Returns (covered edge count
     [n_ne], chosen start column [n_ne]).
@@ -370,7 +375,8 @@ def _place_band_windows(keys, starts_ne, w):
     if total == 0:
         z = np.zeros(0, dtype=np.int64)
         return z, z
-    qk = keys >> 4                       # sw*(_BIG//16) + col//16, sorted
+    sh = int(align).bit_length() - 1     # log2(align); align | _BIG
+    qk = keys >> sh                      # sw*(_BIG//align) + col//align
     flags = np.empty(total, dtype=bool)
     flags[0] = True
     np.not_equal(qk[1:], qk[:-1], out=flags[1:])
@@ -378,10 +384,10 @@ def _place_band_windows(keys, starts_ne, w):
     qku = qk[gstart]                     # [G] sorted group keys
     g = len(gstart)
     cum = np.append(gstart, total)       # [G+1] prefix edge counts
-    hi_g = np.searchsorted(qku, qku + (w >> 4))
+    hi_g = np.searchsorted(qku, qku + (w >> sh))
     cnt_g = cum[hi_g] - gstart           # edges covered from this group on
     # super boundaries in group space (supers = high bits of qku)
-    sup_g = qku >> 29                    # _BIG >> 4 == 1 << 29
+    sup_g = qku >> (33 - sh)             # _BIG >> sh == 1 << (33 - sh)
     sflags = np.empty(g, dtype=bool)
     sflags[0] = True
     np.not_equal(sup_g[1:], sup_g[:-1], out=sflags[1:])
@@ -390,7 +396,7 @@ def _place_band_windows(keys, starts_ne, w):
     seg_of_g = np.cumsum(sflags) - 1
     best = np.where(cnt_g == cov[seg_of_g], np.arange(g), g)
     bi = np.minimum.reduceat(best, gb)
-    start = (qku[bi] & ((np.int64(1) << 29) - 1)) << 4
+    start = (qku[bi] & ((np.int64(1) << (33 - sh)) - 1)) << sh
     return cov, start
 
 
@@ -527,6 +533,32 @@ def build_plan(
         # must stay 16-aligned: the kernels assert that to Mosaic via
         # pl.multiple_of on the dynamic HBM slice
         raise ValueError("band widths must be multiples of 16")
+    fold = int(getattr(config, "band_fold", 1))
+    if fold > 1:
+        # narrow-dim folded layout: starts must stay 16-aligned in
+        # FOLDED units -> 16*fold in original columns; the folded output
+        # block is [band_h/fold, 128]
+        if fold not in (2, 4):
+            raise ValueError("band_fold must be 1, 2 or 4")
+        if config.impl != "pallas":
+            raise ValueError("band_fold > 1 requires impl='pallas'")
+        if config.band_spill != "auto":
+            raise ValueError("band_fold > 1 requires band_spill='auto' "
+                             "(clamp alignment may spill a few edges)")
+        if config.band_impl == "tiled":
+            raise ValueError("band_fold > 1 requires band_impl='wide'")
+        if not band_widths:
+            raise ValueError("band_fold > 1 requires the band path "
+                             "(band_mode != 'never')")
+        if bh % (16 * fold):
+            # folded output blocks are [band_h/fold, 128]; bh/fold must
+            # stay a multiple of the bf16 sublane tile (16)
+            raise ValueError("band_h must be a multiple of 16*band_fold")
+        if any(int(w) % (16 * fold) for w in band_widths):
+            raise ValueError(
+                f"band widths must be multiples of {16 * fold} "
+                f"(band_fold={fold})")
+    al = 16 * fold  # band-start alignment in original columns
     num_sw = (n + bh - 1) // bh if band_widths else 0
     band_starts: List[np.ndarray] = []
     band_edges: List[np.ndarray] = []
@@ -557,7 +589,7 @@ def build_plan(
         if len(ne):
             min_col[ne] = np.minimum.reduceat(column_index, e_start[ne])
             max_col[ne] = np.maximum.reduceat(column_index, e_start[ne])
-        start = (min_col // 16) * 16  # sublane-aligned band start
+        start = (min_col // al) * al  # sublane-aligned band start
         extent = max_col - start + 1
         # edge -> superwindow via boundary marks (integer division over E
         # elements measured seconds on this rig; see _seg_of_positions)
@@ -653,7 +685,7 @@ def build_plan(
             st_b = np.zeros((nb, len(ne)), dtype=np.int64)
             for b, wb in enumerate(band_widths):
                 cov_b[b], st_b[b] = _place_band_windows(
-                    keys, starts_ne, int(wb))
+                    keys, starts_ne, int(wb), align=al)
             widths_arr = np.asarray(band_widths, dtype=np.float64)
             band_cost_b = (
                 (bh * widths_arr[:, None]
@@ -721,7 +753,8 @@ def build_plan(
                 str_b = np.zeros((nb, len(ne_rest)), dtype=np.int64)
                 for b, wb in enumerate(band_widths):
                     covr_b[b], str_b[b] = _place_band_windows(
-                        keys_rest, rest_pos[:-1][ne_rest], int(wb))
+                        keys_rest, rest_pos[:-1][ne_rest], int(wb),
+                        align=al)
                 band_cost_rb = (
                     (bh * widths_arr[:, None]
                      + widths_arr[:, None] * dnom * xbytes) / bw_s
@@ -867,7 +900,11 @@ def build_plan(
             np.minimum(bucket_sw, len(band_widths))
         ]
         can_clamp = band_sel & (m_rows >= bbw_of) & (n == c)
-        start = np.where(can_clamp, np.minimum(start, m_rows - bbw_of), start)
+        # fold > 1 keeps starts 16*fold-aligned: floor-align the clamp
+        # bound (clamping lower only spills more edges — spill mode is a
+        # fold prerequisite, and in_win_e is computed after the clamp)
+        clamp_bound = (m_rows - bbw_of) // al * al
+        start = np.where(can_clamp, np.minimum(start, clamp_bound), start)
 
         # in-window mask: spill mode carves each banded super's A block
         # from the placed window only; everything else spills (computed
@@ -1124,7 +1161,7 @@ def build_plan(
         out_perm[srows] = sparse_off + np.arange(rs_real)
 
     dense_nnz = int(wa.edge_counts[dense_mask_w].sum())
-    return ExecutionPlan(
+    plan = ExecutionPlan(
         num_nodes=n,
         num_cols=c,
         window_h=wh,
@@ -1134,6 +1171,7 @@ def build_plan(
         band_edges=band_edges,
         band_sw_ids=band_sw_ids,
         band_full_cover=band_full_cover if band_widths else False,
+        band_fold=fold,
         xp_rows=xp_rows,
         **tiled_fields,
         **spill_fields,
@@ -1158,6 +1196,15 @@ def build_plan(
         dense_gather_rows=dense_gather_rows,
         unique_gather_rows=unique_gather_rows,
     )
+    if fold > 1 and not (plan.band_full_cover and plan.band_padded_ok):
+        # the folded SpMM computes ONLY band blocks (+ spill) in the
+        # closed folded layout; a plan that routes supers to the gather
+        # populations or whose starts escape [0, M) cannot run folded
+        raise ValueError(
+            "band_fold > 1 needs a full-coverage padded-clamped band "
+            "plan (square graph; band_mode='always' guarantees it under "
+            "band_spill='auto')")
+    return plan
 
 
 def transpose_csr(

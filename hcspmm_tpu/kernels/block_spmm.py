@@ -208,7 +208,7 @@ _BAND_LOOKAHEAD = 4  # slots; effective lookahead is one less
 
 
 def _band_body_deep(starts_ref, a_hbm, x_hbm, aband, band, asems, xsems,
-                    *, bb, precision):
+                    *, bb, precision, fold=1):
     """Shared deep-pipelined band step.  Prefetches A block j and X band
     j (``xp[starts[j] : starts[j]+bb]``) ``L-1`` steps ahead over ``L``
     slots, then returns ``A_i @ band_i`` (fp32).
@@ -217,7 +217,19 @@ def _band_body_deep(starts_ref, a_hbm, x_hbm, aband, band, asems, xsems,
     hazard is *within* a step — starting a copy into the slot this step
     reads.  With lookahead L-1 the started slot is (i+L-1)%L != i%L, and
     the slot being overwritten was last read at step i-1, which has
-    already completed."""
+    already completed.
+
+    ``fold`` > 1 = the narrow-dim FOLDED layout (VERDICT r1 #2): X holds
+    ``fold`` consecutive original rows per VMEM row, dsub = d/fold lanes
+    each (xf[j, k*dsub+f] = x[fold*j+k, f]), so narrow features (dim <=
+    32/64) stop paying the 128-lane floor — X and output traffic shrink
+    ``fold``x while the A stream is unchanged.  The A block stays in its
+    NATURAL [bh, W] layout: because xf's (j, k) index flattens row-major
+    to the original column c = fold*j + k, the unfold xf -> [W, dsub] is
+    a pure reshape, the body is ONE dot [bh, W] @ [W, dsub], and the
+    output fold [bh, dsub] -> [bh/fold, d] is again a pure reshape — no
+    lane-sliced stripe arithmetic, no A-side relayout.  ``bb`` is the
+    FOLDED band row count (W/fold); ``starts_ref`` is in folded units."""
     L = aband.shape[0]
     la = L - 1
     i = pl.program_id(0)
@@ -228,8 +240,9 @@ def _band_body_deep(starts_ref, a_hbm, x_hbm, aband, band, asems, xsems,
                                      asems.at[slot])
 
     def x_dma(j, slot):
-        # plan-side band starts are 16-aligned; the hint lets Mosaic prove
-        # sublane-tile divisibility of the dynamic HBM slice
+        # plan-side band starts are 16-aligned (16*fold in original
+        # columns when folded); the hint lets Mosaic prove sublane-tile
+        # divisibility of the dynamic HBM slice
         start = pl.multiple_of(starts_ref[j], 16)
         return pltpu.make_async_copy(
             x_hbm.at[pl.ds(start, bb), :],
@@ -254,32 +267,42 @@ def _band_body_deep(starts_ref, a_hbm, x_hbm, aband, band, asems, xsems,
 
     a_dma(i, i % L).wait()
     x_dma(i, i % L).wait()
-    return jnp.dot(
-        aband[i % L].astype(band.dtype),
-        band[i % L],
-        preferred_element_type=jnp.float32,
-        precision=precision,
-    )
+    if fold == 1:
+        return jnp.dot(
+            aband[i % L].astype(band.dtype),
+            band[i % L],
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+    af = aband[i % L].astype(band.dtype)            # [bh, W]
+    bh = af.shape[0]
+    d = band.shape[-1]
+    xu = band[i % L].reshape(bb * fold, d // fold)  # [W, dsub]
+    acc = jnp.dot(af, xu, preferred_element_type=jnp.float32,
+                  precision=precision)              # [bh, dsub]
+    # rows -> lanes: out_f[j', k*dsub+f] = acc[fold*j'+k, f]
+    return acc.reshape(bh // fold, d)
 
 
-def _band_scratch(a, xp, d):
+def _band_scratch(a, xp, d, fold=1):
     L = _BAND_LOOKAHEAD
     _, bh, bb = a.shape
     return [
         pltpu.VMEM((L, bh, bb), a.dtype),
-        pltpu.VMEM((L, bb, d), xp.dtype),
+        pltpu.VMEM((L, bb // fold, d), xp.dtype),
         pltpu.SemaphoreType.DMA((L,)),
         pltpu.SemaphoreType.DMA((L,)),
     ]
 
 
 def _band_kernel(starts_ref, a_hbm, x_hbm, out_ref, aband, band,
-                 asems, xsems, *, bb, precision):
+                 asems, xsems, *, bb, precision, fold=1):
     out_ref[0] = _band_body_deep(starts_ref, a_hbm, x_hbm, aband, band,
-                                 asems, xsems, bb=bb, precision=precision)
+                                 asems, xsems, bb=bb, precision=precision,
+                                 fold=fold)
 
 
-def band_bucket_spmm(starts, a, xp):
+def band_bucket_spmm(starts, a, xp, fold=1):
     """``out[s] = a[s] @ xp[starts[s] : starts[s]+Bb]`` for one band-width
     bucket: ONE contiguous deep-pipelined DMA per superwindow instead of
     per-row gathers — the explicit-VMEM analog of the reference GPU's L2
@@ -287,6 +310,11 @@ def band_bucket_spmm(starts, a, xp):
 
     starts: int32 [Sb] sublane-aligned; a: int8 [Sb, bh, Bb]; xp: [>=max
     start+Bb, D].  Returns fp32 [Sb, bh, D].
+
+    ``fold`` > 1: narrow-dim folded layout — xp is the folded
+    [rows/fold, D] array, starts are in folded units, a keeps its
+    natural [Sb, bh, Bb] layout, and the output is folded
+    [Sb, bh/fold, D] (see _band_body_deep).
     """
     sb, bh, bb = a.shape
     _, d = xp.shape
@@ -302,23 +330,25 @@ def band_bucket_spmm(starts, a, xp):
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, bh, d), lambda i, s_: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, bh // fold, d), lambda i, s_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=_band_scratch(a, xp, d),
+        scratch_shapes=_band_scratch(a, xp, d, fold),
     )
     return pl.pallas_call(
-        functools.partial(_band_kernel, bb=bb, precision=precision),
+        functools.partial(_band_kernel, bb=bb // fold, precision=precision,
+                          fold=fold),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((sb, bh, d), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((sb, bh // fold, d), jnp.float32),
         interpret=_interpret(),
     )(starts, a, xp)
 
 
 def _band_kernel_direct(starts_ref, sw_ref, a_hbm, x_hbm, out_ref,
-                        aband, band, asems, xsems, *, bb, precision):
+                        aband, band, asems, xsems, *, bb, precision,
+                        fold=1):
     out_ref[0] = _band_body_deep(
         starts_ref, a_hbm, x_hbm, aband, band, asems, xsems,
-        bb=bb, precision=precision,
+        bb=bb, precision=precision, fold=fold,
     ).astype(out_ref.dtype)
 
 
@@ -402,7 +432,7 @@ def band_bucket_spmm_grouped(starts, a, xp, num_sw, out_dtype,
 
 
 def band_bucket_spmm_direct(sw_ids, starts, a, xp, num_sw, out_dtype,
-                            trash=None):
+                            trash=None, fold=1):
     """Direct write: superwindow ``sw_ids[i]``'s output block is written
     by grid step i; blocks not owned by this bucket come out as
     uninitialized garbage the caller must overwrite (single-bucket
@@ -414,7 +444,10 @@ def band_bucket_spmm_direct(sw_ids, starts, a, xp, num_sw, out_dtype,
     partial buckets must pass it explicitly.  The trash block is only
     allocated when needed — the [:num_sw] slice of the padded case costs
     a full-output copy pass, so the unpadded case keeps the exact
-    shape."""
+    shape.
+
+    ``fold`` > 1: narrow-dim folded layout (see _band_body_deep): xp and
+    the output blocks are folded ([bh/fold, D] per super)."""
     sb, bh, bb = a.shape
     if trash is None:
         trash = sb > num_sw
@@ -431,14 +464,16 @@ def band_bucket_spmm_direct(sw_ids, starts, a, xp, num_sw, out_dtype,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, bh, d), lambda i, s_, w_: (w_[i], 0, 0),
+        out_specs=pl.BlockSpec((1, bh // fold, d),
+                               lambda i, s_, w_: (w_[i], 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=_band_scratch(a, xp, d),
+        scratch_shapes=_band_scratch(a, xp, d, fold),
     )
     out = pl.pallas_call(
-        functools.partial(_band_kernel_direct, bb=bb, precision=precision),
+        functools.partial(_band_kernel_direct, bb=bb // fold,
+                          precision=precision, fold=fold),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((num_sw + int(trash), bh, d),
+        out_shape=jax.ShapeDtypeStruct((num_sw + int(trash), bh // fold, d),
                                        out_dtype),
         interpret=_interpret(),
     )(starts, sw_ids, a, xp)
@@ -648,9 +683,12 @@ def spmm_fused_pallas(arrs, x, w, plan, compute_dtype):
     single band bucket; returns None otherwise (caller composes the
     unfused ops instead)."""
     n, d = x.shape
-    if not plan.band_full_cover or getattr(plan, "tiled", False):
+    if (not plan.band_full_cover or getattr(plan, "tiled", False)
+            or getattr(plan, "band_fold", 1) > 1):
         # tiled plans compose (tiled aggregate + XLA matmul under one
-        # jit); the wide fused kernel needs the band*_a arrays
+        # jit); the wide fused kernel needs the band*_a arrays; folded
+        # plans compose through the folded SpMM (weights need the
+        # block-diagonal lane form — ops layer owns that)
         return None
     num_sw = _cdiv(n, plan.band_h)
     nonempty = [s for s in range(len(plan.band_widths))
@@ -719,6 +757,57 @@ def apply_spill(out, arrs, xsrc, plan):
     return out.at[arrs["spill_rows"]].add(seg.astype(out.dtype), mode="drop")
 
 
+def fold_rows(xp, fold: int):
+    """[M, dsub] -> folded [M/fold, dsub*fold]: ``fold`` consecutive rows
+    share one VMEM row (xf[j, k*dsub+f] = xp[fold*j+k, f]).  A pure
+    reshape — rows fold into lanes contiguously."""
+    m, dsub = xp.shape
+    return xp.reshape(m // fold, dsub * fold)
+
+
+def unfold_rows(xf, fold: int):
+    """Inverse of fold_rows: [M/fold, d] -> [M, d/fold]."""
+    mf, d = xf.shape
+    return xf.reshape(mf * fold, d // fold)
+
+
+def _spmm_pallas_padded_folded(arrs, xf, plan, compute_dtype):
+    """Folded narrow-dim twin of spmm_pallas_padded: xf [M/fold, 128] ->
+    [M/fold, 128] (closed).  Band starts arrive in original columns
+    (16*fold-aligned by plan build) and are divided here; the A blocks
+    are the same natural [Sb, bh, Bb] arrays the unfolded path uses."""
+    fold = plan.band_fold
+    xf = xf.astype(compute_dtype)
+    num_sw = plan.padded_rows // plan.band_h
+    nonempty = [i for i in range(len(plan.band_widths))
+                if arrs[f"band{i}_start"].shape[0] > 0]
+    s_main = max(nonempty, key=lambda i: len(plan.band_sw_ids[i]))
+    buf = band_bucket_spmm_direct(
+        arrs[f"band{s_main}_sw"], arrs[f"band{s_main}_start"] // fold,
+        arrs[f"band{s_main}_a"], xf, num_sw, xf.dtype,
+        trash=(arrs[f"band{s_main}_start"].shape[0]
+               > len(plan.band_sw_ids[s_main])),
+        fold=fold,
+    )
+    for i in nonempty:
+        if i == s_main:
+            continue
+        part = band_bucket_spmm(
+            arrs[f"band{i}_start"] // fold, arrs[f"band{i}_a"], xf,
+            fold=fold,
+        ).astype(xf.dtype)
+        buf = buf.at[arrs[f"band{i}_sw"]].set(part, mode="drop")
+    out = buf.reshape(plan.padded_rows // fold, xf.shape[1])
+    if _has_spill(arrs, plan):
+        # spill rows index the UNFOLDED row space: unfold, add, refold
+        # (one relayout pass each way, only paid when spill is nonempty)
+        out_u = unfold_rows(out, fold)
+        x_u = unfold_rows(xf, fold)
+        out_u = apply_spill(out_u, arrs, x_u, plan)
+        out = fold_rows(out_u.astype(xf.dtype), fold)
+    return out
+
+
 def spmm_padded_supported(plan) -> bool:
     """True when ``spmm_pallas_padded`` can run the closed padded layout:
     full-coverage single-band-bucket plan whose starts were clamped into
@@ -747,6 +836,8 @@ def spmm_pallas_padded(arrs, xp, plan, compute_dtype):
     pad/slice/merge passes — at DD scale those passes cost ~350 us on top
     of the ~800 us kernel.  Caller gate: ``spmm_padded_supported(plan)``.
     """
+    if getattr(plan, "band_fold", 1) > 1:
+        return _spmm_pallas_padded_folded(arrs, xp, plan, compute_dtype)
     xp = xp.astype(compute_dtype)
     m, dp = xp.shape
     if getattr(plan, "tiled", False):
@@ -781,7 +872,8 @@ def spmm_fused_pallas_padded(arrs, xp, wp, plan):
     never round-trips HBM between the two matmuls.  Single-bucket
     full-coverage wide plans only; returns None otherwise (callers
     compose with the padded SpMM)."""
-    if getattr(plan, "tiled", False) or not plan.band_padded_ok:
+    if (getattr(plan, "tiled", False) or not plan.band_padded_ok
+            or getattr(plan, "band_fold", 1) > 1):
         return None
     num_sw = plan.padded_rows // plan.band_h
     nonempty = [s for s in range(len(plan.band_widths))
@@ -812,6 +904,19 @@ def spmm_pallas(arrs, x, plan, compute_dtype):
     # output rows = plan.num_nodes; x carries plan.num_cols(+pad) rows on
     # rectangular shard operands, so never derive row counts from x
     n, d = plan.num_nodes, x.shape[1]
+    fold = getattr(plan, "band_fold", 1)
+    if fold > 1:
+        # folded plans run the folded padded core with one-time glue
+        # (padded callers skip this): pad to [M, dsub], fold, unfold
+        dsub = 128 // fold
+        if d > dsub:
+            raise ValueError(
+                f"band_fold={fold} supports dim <= {dsub}, got {d}")
+        m = plan.padded_rows
+        xp = jnp.pad(x.astype(compute_dtype), ((0, m - n), (0, dsub - d)))
+        out = _spmm_pallas_padded_folded(
+            arrs, fold_rows(xp, fold), plan, compute_dtype)
+        return unfold_rows(out, fold)[:n, :d].astype(x.dtype)
     if getattr(plan, "tiled", False):
         # tiled plans carry only tp_* arrays; run the padded core with
         # one-time glue (padded callers skip this entirely)

@@ -92,6 +92,11 @@ class SAGEConv:
         def w(name):
             wm = params[name]
             if padded:
+                pw = getattr(spmm, "pad_weight", None)
+                if pw is not None:
+                    # the operator owns the layout (lane-padded or folded
+                    # block-diagonal — ops.spmm.HybridSpMM.pad_weight)
+                    return pw(wm, x)
                 # zero-pad W rows to the padded feature width and cols to
                 # a lane multiple (zero rows/cols preserve the closed
                 # layout's zero invariant)

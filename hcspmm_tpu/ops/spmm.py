@@ -224,7 +224,9 @@ def make_spmm_padded(
 
     pb = plan if plan_bwd is None else plan_bwd
     if not (spmm_padded_supported(plan) and spmm_padded_supported(pb)
-            and pb.padded_rows == plan.padded_rows):
+            and pb.padded_rows == plan.padded_rows
+            and getattr(pb, "band_fold", 1)
+            == getattr(plan, "band_fold", 1)):
         return None
     cd = _dtype(compute_dtype)
 
@@ -254,6 +256,36 @@ def _pad_w_lane(w, dpin, cd):
                    ((0, dpin - w.shape[0]), (0, dpo - w.shape[1])))
 
 
+def _pad_w_fold(w, fold, cd):
+    """Weight for the FOLDED activation layout: ``fold`` copies of ``w``
+    (each zero-padded to [dsub, dsub], dsub = 128/fold) on the diagonal
+    of a [128, 128] tile — lane group k of a folded activation row (=
+    original row fold*j + k) sees its own copy, so ``xf @ wf`` is the
+    folded form of ``x @ w``."""
+    dsub = 128 // fold
+    if w.shape[0] > dsub or w.shape[1] > dsub:
+        raise ValueError(
+            f"band_fold={fold} supports layer dims <= {dsub}, got "
+            f"{w.shape[0]}x{w.shape[1]}")
+    wp = jnp.pad(w.astype(cd), ((0, dsub - w.shape[0]),
+                                (0, dsub - w.shape[1])))
+    return jnp.kron(jnp.eye(fold, dtype=cd), wp)
+
+
+def _fold_dw(m128, w_shape, fold, dtype):
+    """Extract dW from the folded-layout weight-gradient tile: the true
+    gradient is the sum of the ``fold`` diagonal [dsub, dsub] blocks of
+    ``xf^T @ adz_f`` (off-diagonal blocks pair different original rows
+    and are discarded)."""
+    dsub = 128 // fold
+    din, dout = w_shape
+    acc = None
+    for k in range(fold):
+        blk = m128[k * dsub:k * dsub + din, k * dsub:k * dsub + dout]
+        acc = blk if acc is None else acc + blk
+    return acc.astype(dtype)
+
+
 def make_fused_ops_padded(
     plan: ExecutionPlan,
     plan_bwd: Optional[ExecutionPlan] = None,
@@ -272,9 +304,25 @@ def make_fused_ops_padded(
 
     pb = plan if plan_bwd is None else plan_bwd
     if not (spmm_padded_supported(plan) and spmm_padded_supported(pb)
-            and pb.padded_rows == plan.padded_rows):
+            and pb.padded_rows == plan.padded_rows
+            and getattr(pb, "band_fold", 1)
+            == getattr(plan, "band_fold", 1)):
         return None
     cd = _dtype(compute_dtype)
+    fold = getattr(plan, "band_fold", 1)
+
+    def _pw(w, dpin, cd_):
+        # folded layouts need the block-diagonal weight form (lane group
+        # k = its own original row); unfolded just lane-pads
+        if fold > 1:
+            return _pad_w_fold(w, fold, cd_)
+        return _pad_w_lane(w, dpin, cd_)
+
+    def _dw_of(m, w):
+        # weight grad from the padded/folded gradient tile
+        if fold > 1:
+            return _fold_dw(m, w.shape, fold, w.dtype)
+        return m[: w.shape[0], : w.shape[1]].astype(w.dtype)
 
     def fused(p, arrs, xp, wp):
         res = spmm_fused_pallas_padded(arrs, xp, wp, p)
@@ -287,7 +335,7 @@ def make_fused_ops_padded(
 
     @jax.custom_vjp
     def gcn_p(arrs_f, arrs_b, xp, w):
-        xw = jnp.dot(xp, _pad_w_lane(w, xp.shape[1], xp.dtype),
+        xw = jnp.dot(xp, _pw(w, xp.shape[1], xp.dtype),
                      preferred_element_type=jnp.float32).astype(xp.dtype)
         return spmm_pallas_padded(arrs_f, xw, plan, cd)
 
@@ -296,12 +344,12 @@ def make_fused_ops_padded(
 
     def gcn_bwd(res, g):
         arrs_f, arrs_b, xp, w = res
-        wp = _pad_w_lane(w, xp.shape[1], g.dtype)
+        wp = _pw(w, xp.shape[1], g.dtype)
         # fused backward: one kernel computes dX = (A dZ) W^T AND the
         # A dZ residual for dW
         dx, adz = fused(pb, arrs_b, g, wp.T)
-        dw = jnp.dot(xp.T, adz, preferred_element_type=jnp.float32
-                     )[: w.shape[0], : w.shape[1]].astype(w.dtype)
+        dw = _dw_of(jnp.dot(xp.T, adz,
+                            preferred_element_type=jnp.float32), w)
         return (_float0_zeros(arrs_f), _float0_zeros(arrs_b),
                 dx.astype(xp.dtype), dw)
 
@@ -309,23 +357,21 @@ def make_fused_ops_padded(
 
     @jax.custom_vjp
     def gin_p(arrs_f, arrs_b, xp, w):
-        out, _ = fused(plan, arrs_f, xp,
-                       _pad_w_lane(w, xp.shape[1], xp.dtype))
+        out, _ = fused(plan, arrs_f, xp, _pw(w, xp.shape[1], xp.dtype))
         return out
 
     def gin_fwd(arrs_f, arrs_b, xp, w):
-        out, agg = fused(plan, arrs_f, xp,
-                         _pad_w_lane(w, xp.shape[1], xp.dtype))
+        out, agg = fused(plan, arrs_f, xp, _pw(w, xp.shape[1], xp.dtype))
         return out, (arrs_f, arrs_b, w, agg)
 
     def gin_bwd(res, g):
         arrs_f, arrs_b, w, agg = res
-        wp = _pad_w_lane(w, agg.shape[1], g.dtype)
+        wp = _pw(w, agg.shape[1], g.dtype)
         dagg = jnp.dot(g, wp.T, preferred_element_type=jnp.float32
                        ).astype(g.dtype)
         dx = spmm_pallas_padded(arrs_b, dagg, pb, cd)
-        dw = jnp.dot(agg.T, g, preferred_element_type=jnp.float32
-                     )[: w.shape[0], : w.shape[1]].astype(w.dtype)
+        dw = _dw_of(jnp.dot(agg.T, g,
+                            preferred_element_type=jnp.float32), w)
         return (_float0_zeros(arrs_f), _float0_zeros(arrs_b),
                 dx.astype(g.dtype), dw)
 
@@ -556,27 +602,64 @@ class HybridSpMM:
 
     def pad_input(self, x: jnp.ndarray) -> jnp.ndarray:
         """[N, D] -> padded [M, dp] in compute dtype (one-time cost; the
-        layout then stays closed across ``apply_padded`` chains/layers)."""
+        layout then stays closed across ``apply_padded`` chains/layers).
+
+        Folded plans (``config.band_fold`` > 1) return the FOLDED layout
+        [M/fold, 128] instead: ``fold`` consecutive rows share one
+        128-lane row (dsub = 128/fold lanes each) so narrow feature dims
+        stop paying the 128-lane floor."""
         n, d = x.shape
         m = self.plan.padded_rows
-        dp = -(-d // 128) * 128
+        fold = getattr(self.plan, "band_fold", 1)
         xp = x.astype(_dtype(self.config.compute_dtype))
+        if fold > 1:
+            dsub = 128 // fold
+            if d > dsub:
+                raise ValueError(
+                    f"band_fold={fold} supports dim <= {dsub}, got {d}")
+            xp = jnp.pad(xp, ((0, m - n), (0, dsub - d)))
+            return xp.reshape(m // fold, 128)
+        dp = -(-d // 128) * 128
         return jnp.pad(xp, ((0, m - n), (0, dp - d)))
 
     def unpad_output(self, xp: jnp.ndarray, d: Optional[int] = None,
                      dtype=None) -> jnp.ndarray:
-        """Padded [M, dp] -> [N, d]."""
+        """Padded [M, dp] (or folded [M/fold, 128]) -> [N, d]."""
         n = self.plan.num_nodes
+        fold = getattr(self.plan, "band_fold", 1)
+        if fold > 1:
+            mf, dpf = xp.shape
+            xp = xp.reshape(mf * fold, dpf // fold)
         out = xp[:n] if d is None else xp[:n, :d]
         return out if dtype is None else out.astype(dtype)
+
+    def _inv_lanes(self, inv, xp, fill=1.0):
+        """Per-original-row scale vector broadcast into the padded (or
+        folded) activation layout; padded rows get ``fill``."""
+        fold = getattr(self.plan, "band_fold", 1)
+        rows = xp.shape[0] * fold
+        invp = jnp.pad(inv, (0, rows - inv.shape[0]), constant_values=fill)
+        if fold == 1:
+            return invp[:, None]
+        dsub = xp.shape[1] // fold
+        return jnp.broadcast_to(
+            invp.reshape(xp.shape[0], fold, 1),
+            (xp.shape[0], fold, dsub),
+        ).reshape(xp.shape)
+
+    def pad_weight(self, w, xp):
+        """Weight in the padded (lane-padded) or folded (block-diagonal)
+        form matching ``xp``'s layout (models.layers.SAGEConv and the
+        unfused layer paths use this)."""
+        if getattr(self.plan, "band_fold", 1) > 1:
+            return _pad_w_fold(w, self.plan.band_fold, xp.dtype)
+        return _pad_w_lane(w, xp.shape[1], xp.dtype)
 
     def apply_padded(self, arrays, xp: jnp.ndarray) -> jnp.ndarray:
         """SpMM in the padded layout.  Falls back to the unpadded op
         (correct, slower) when the plan lacks the fast path."""
         if "inv_sqrt_deg" in arrays:
-            inv = arrays["inv_sqrt_deg"]
-            inv = jnp.pad(inv, (0, xp.shape[0] - inv.shape[0]),
-                          constant_values=1.0)[:, None]
+            inv = self._inv_lanes(arrays["inv_sqrt_deg"], xp)
             xs = (xp * inv).astype(xp.dtype)
             out = (self._padded_core(arrays, xs) * inv).astype(xp.dtype)
             return out
@@ -596,7 +679,7 @@ class HybridSpMM:
         ``apply_padded`` in normalized mode or when unsupported."""
         if self._fused_padded is not None and "inv_sqrt_deg" not in arrays:
             return self._fused_padded["gcn"](arrays["f"], arrays["b"], xp, w)
-        xw = jnp.dot(xp, _pad_w_lane(w, xp.shape[1], xp.dtype),
+        xw = jnp.dot(xp, self.pad_weight(w, xp),
                      preferred_element_type=jnp.float32).astype(xp.dtype)
         return self.apply_padded(arrays, xw)
 
@@ -606,7 +689,7 @@ class HybridSpMM:
         if self._fused_padded is not None and "inv_sqrt_deg" not in arrays:
             return self._fused_padded["gin"](arrays["f"], arrays["b"], xp, w)
         agg = self.apply_padded(arrays, xp)
-        return jnp.dot(agg, _pad_w_lane(w, agg.shape[1], agg.dtype),
+        return jnp.dot(agg, self.pad_weight(w, agg),
                        preferred_element_type=jnp.float32).astype(agg.dtype)
 
     def mean_apply(self, arrays, x: jnp.ndarray) -> jnp.ndarray:
@@ -618,10 +701,7 @@ class HybridSpMM:
     def mean_apply_padded(self, arrays, xp: jnp.ndarray) -> jnp.ndarray:
         """Mean aggregation in the closed padded layout (padded rows have
         inv_deg == 1, so they stay exactly zero)."""
-        inv = jnp.pad(
-            arrays["inv_deg"], (0, xp.shape[0] - arrays["inv_deg"].shape[0]),
-            constant_values=1.0,
-        )[:, None]
+        inv = self._inv_lanes(arrays["inv_deg"], xp)
         return (self._padded_core(arrays, xp) * inv).astype(xp.dtype)
 
     def mean(self, x: jnp.ndarray) -> jnp.ndarray:

@@ -43,6 +43,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["intended", "degenerate", "calibrated",
                             "all_dense", "all_sparse"])
     p.add_argument("--impl", type=str, default="xla", choices=["xla", "pallas"])
+    p.add_argument("--band-fold", type=int, default=1, choices=[1, 2, 4],
+                   help="narrow-dim folded activation layout: pack this "
+                        "many rows per 128-lane VMEM row (all layer dims "
+                        "must be <= 128/fold; requires --impl pallas)")
     p.add_argument("--compute-dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])
     p.add_argument("--bucket-widths", type=str, default="32,64,96,128,192,256",
@@ -107,11 +111,15 @@ def main(argv=None) -> int:
     logger = stdout_logger(dataset=args.dataset, model=args.model)
 
     ds = load_dataset(args)
+    fold = getattr(args, "band_fold", 1)
     cfg = PlanConfig(
         bucket_widths=tuple(int(v) for v in getattr(args, "bucket_widths").split(",")),
         loi_mode=getattr(args, "loi_mode"),
         compute_dtype=getattr(args, "compute_dtype"),
         impl=args.impl,
+        band_fold=fold,
+        # folded plans need full band coverage (format.plan validation)
+        **({"band_mode": "always"} if fold > 1 else {}),
     )
 
     start = time.perf_counter()

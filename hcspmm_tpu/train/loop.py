@@ -83,14 +83,30 @@ def make_train_step(
                 return spmm.mean_apply(self._arrs, x)
             return self(x)  # sum fallback for degree-less operators
 
+        def pad_weight(self, wm, x):
+            # layout-owning weight padding (folded plans need the
+            # block-diagonal form); layers consult this when padded
+            pw = getattr(spmm, "pad_weight", None)
+            if pw is not None:
+                return pw(wm, x)
+            dpo = -(-wm.shape[1] // 128) * 128
+            return jnp.pad(wm, ((0, x.shape[1] - wm.shape[0]),
+                                (0, dpo - wm.shape[1]))).astype(x.dtype)
+
     def make_bound(arrs):
         if arrays is None:
             return spmm  # plain callable
         return _Bound(arrs)
 
-    out_slice = (
-        (spmm.plan.num_nodes, net.num_classes) if padded else None
-    )
+    if padded and hasattr(spmm, "unpad_output"):
+        # the operator owns the layout (plain padded slices; folded
+        # layouts unfold first)
+        def out_slice(h):
+            return spmm.unpad_output(h, net.num_classes)
+    elif padded:
+        out_slice = (spmm.plan.num_nodes, net.num_classes)
+    else:
+        out_slice = None
 
     def loss_fn(params, arrs, x, y, rng):
         logp = net_forward(net, params, make_bound(arrs), x,
