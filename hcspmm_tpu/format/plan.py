@@ -638,8 +638,16 @@ def build_plan(
             # power-law / community graphs (hub and inter-community edges
             # spill, the local mass streams) instead of the all-or-nothing
             # full-extent selection of band_spill='never'.
-            keys_unsorted = sw_of_edge * _BIG + column_index
-            keys = np.sort(keys_unsorted)
+            # Native fast path: the per-edge quantile/placement passes
+            # run in OpenMP C++ (native/preprocess.cpp hcspmm_band_*);
+            # the keys-sort NumPy path stays as the portable fallback
+            # and the test oracle (tests/test_format.py).
+            from hcspmm_tpu.format import windows as _w
+            _nat = _w._native_lib() is not None
+            keys_unsorted = keys = None
+            if not _nat:
+                keys_unsorted = sw_of_edge * _BIG + column_index
+                keys = np.sort(keys_unsorted)
             starts_ne = e_start[ne]
             E_ne = E_sw[ne]
             if auto_width:
@@ -651,7 +659,11 @@ def build_plan(
                 W_CAP = 2048
                 qs = tuple(sorted({0.5, 0.75, 0.9,
                                    float(config.band_coverage), 1.0}))
-                rw = _robust_widths(keys, e_start, e_end, ne, qs)
+                if _nat:
+                    rw = _w.native_band_robust(
+                        rp64, column_index, n, bh, qs)[3][:, ne]
+                else:
+                    rw = _robust_widths(keys, e_start, e_end, ne, qs)
                 qcov = rw[qs.index(float(config.band_coverage))]
                 cands = set()
                 for row in (qcov, rw[-1]):
@@ -681,11 +693,16 @@ def build_plan(
             # exact placement per ladder width; per-super bucket choice
             # minimizes modeled cost (band bytes + spill gather)
             nb = len(band_widths)
-            cov_b = np.zeros((nb, len(ne)), dtype=np.int64)
-            st_b = np.zeros((nb, len(ne)), dtype=np.int64)
-            for b, wb in enumerate(band_widths):
-                cov_b[b], st_b[b] = _place_band_windows(
-                    keys, starts_ne, int(wb), align=al)
+            if _nat:
+                covf, stf, _ = _w.native_band_place(
+                    rp64, column_index, n, bh, al, band_widths)
+                cov_b, st_b = covf[:, ne], stf[:, ne]
+            else:
+                cov_b = np.zeros((nb, len(ne)), dtype=np.int64)
+                st_b = np.zeros((nb, len(ne)), dtype=np.int64)
+                for b, wb in enumerate(band_widths):
+                    cov_b[b], st_b[b] = _place_band_windows(
+                        keys, starts_ne, int(wb), align=al)
             widths_arr = np.asarray(band_widths, dtype=np.float64)
             band_cost_b = (
                 (bh * widths_arr[:, None]
@@ -739,22 +756,36 @@ def build_plan(
 
             # pass 2: re-place band on non-bucket edges, per-super on/off
             tc_e = dense_routed_w[wa.edge_to_window]
-            rest_cnt = np.bincount(
-                sw_of_edge[~tc_e], minlength=num_sw).astype(np.int64)
-            keys_rest = np.sort(keys_unsorted[~tc_e])
-            rest_pos = np.zeros(num_sw + 1, dtype=np.int64)
-            np.cumsum(rest_cnt, out=rest_pos[1:])
-            ne_rest = np.where(rest_cnt > 0)[0]
             cov_rest = np.zeros(num_sw, dtype=np.int64)
             st_rest = np.zeros(num_sw, dtype=np.int64)
             best_rest = np.zeros(num_sw, dtype=np.int64)
-            if len(ne_rest):
+            if not tc_e.any():
+                # nothing dense-routed: the rest set IS the full edge set
+                # — reuse pass 1's placement instead of recomputing
+                rest_cnt = E_sw.copy()
+                ne_rest = ne
+                covr_b, str_b = cov_b, st_b
+            elif _nat:
+                covr_f, str_f, rest_cnt = _w.native_band_place(
+                    rp64, column_index, n, bh, al, band_widths,
+                    mask=~tc_e)
+                ne_rest = np.where(rest_cnt > 0)[0]
+                covr_b = covr_f[:, ne_rest]
+                str_b = str_f[:, ne_rest]
+            else:
+                rest_cnt = np.bincount(
+                    sw_of_edge[~tc_e], minlength=num_sw).astype(np.int64)
+                keys_rest = np.sort(keys_unsorted[~tc_e])
+                rest_pos = np.zeros(num_sw + 1, dtype=np.int64)
+                np.cumsum(rest_cnt, out=rest_pos[1:])
+                ne_rest = np.where(rest_cnt > 0)[0]
                 covr_b = np.zeros((nb, len(ne_rest)), dtype=np.int64)
                 str_b = np.zeros((nb, len(ne_rest)), dtype=np.int64)
                 for b, wb in enumerate(band_widths):
                     covr_b[b], str_b[b] = _place_band_windows(
                         keys_rest, rest_pos[:-1][ne_rest], int(wb),
                         align=al)
+            if len(ne_rest):
                 band_cost_rb = (
                     (bh * widths_arr[:, None]
                      + widths_arr[:, None] * dnom * xbytes) / bw_s

@@ -93,6 +93,18 @@ def _native_lib() -> Optional[ctypes.CDLL]:
         i32p, i32p, ctypes.c_int64, ctypes.c_int32, i64p, i64p,
     ]
     lib.hcspmm_band_extents.restype = ctypes.c_int32
+    f64p = ctypes.POINTER(ctypes.c_double)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.hcspmm_band_robust.argtypes = [
+        i32p, i32p, ctypes.c_int64, ctypes.c_int32, f64p, ctypes.c_int32,
+        i64p, i64p, i64p, i64p,
+    ]
+    lib.hcspmm_band_robust.restype = ctypes.c_int32
+    lib.hcspmm_band_place.argtypes = [
+        i32p, i32p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int64,
+        i64p, ctypes.c_int32, u8p, i64p, i64p, i64p,
+    ]
+    lib.hcspmm_band_place.restype = ctypes.c_int32
     _LIB_CACHE = lib
     return lib
 
@@ -103,6 +115,62 @@ def _i32ptr(a: np.ndarray):
 
 def _i64ptr(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def native_band_robust(rp, ci, n: int, band_h: int, qs):
+    """Native per-super robust-width quantiles + count/min/max
+    (format.plan._robust_widths ported to OpenMP C++; the per-edge
+    quantile passes are the plan build's hottest loop at power-law
+    scale).  Returns (cnt, min_col, max_col, rw[nq, num_sw]) or None
+    when the native lib is unavailable."""
+    lib = _native_lib()
+    if lib is None:
+        return None
+    rp32 = np.ascontiguousarray(rp, dtype=np.int32)
+    ci32 = np.ascontiguousarray(ci, dtype=np.int32)
+    num_sw = (int(n) + band_h - 1) // band_h
+    qs_a = np.ascontiguousarray(qs, dtype=np.float64)
+    cnt = np.empty(num_sw, dtype=np.int64)
+    mn = np.empty(num_sw, dtype=np.int64)
+    mx = np.empty(num_sw, dtype=np.int64)
+    rw = np.empty((len(qs_a), num_sw), dtype=np.int64)
+    rc = lib.hcspmm_band_robust(
+        _i32ptr(rp32), _i32ptr(ci32), int(n), band_h,
+        qs_a.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(qs_a),
+        _i64ptr(cnt), _i64ptr(mn), _i64ptr(mx), _i64ptr(rw))
+    if rc != 0:
+        return None
+    return cnt, mn, mx, rw
+
+
+def native_band_place(rp, ci, n: int, band_h: int, align: int, widths,
+                      mask=None):
+    """Native aligned band-window placement per (width, superwindow)
+    (format.plan._place_band_windows ported).  ``mask`` selects edges
+    (CSR order).  Returns (cov[nb, num_sw], start[nb, num_sw],
+    cnt[num_sw]) or None when the native lib is unavailable."""
+    lib = _native_lib()
+    if lib is None:
+        return None
+    rp32 = np.ascontiguousarray(rp, dtype=np.int32)
+    ci32 = np.ascontiguousarray(ci, dtype=np.int32)
+    num_sw = (int(n) + band_h - 1) // band_h
+    w_a = np.ascontiguousarray(widths, dtype=np.int64)
+    cov = np.empty((len(w_a), num_sw), dtype=np.int64)
+    start = np.empty((len(w_a), num_sw), dtype=np.int64)
+    cnt = np.empty(num_sw, dtype=np.int64)
+    if mask is None:
+        mp = ctypes.POINTER(ctypes.c_uint8)()
+    else:
+        mask = np.ascontiguousarray(mask, dtype=np.uint8)
+        mp = mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    rc = lib.hcspmm_band_place(
+        _i32ptr(rp32), _i32ptr(ci32), int(n), band_h, int(align),
+        _i64ptr(w_a), len(w_a), mp, _i64ptr(cov), _i64ptr(start),
+        _i64ptr(cnt))
+    if rc != 0:
+        return None
+    return cov, start, cnt
 
 
 @dataclasses.dataclass

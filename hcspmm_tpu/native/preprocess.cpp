@@ -12,6 +12,7 @@
 // NumPy path remains as the portable fallback and the test oracle.
 
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <vector>
 
@@ -107,6 +108,113 @@ int32_t hcspmm_band_extents(const int32_t* rp, const int32_t* ci,
     }
     min_col[s] = mn;
     max_col[s] = mx;
+  }
+  return 0;
+}
+
+// Robust band-width quantiles per superwindow (format/plan.py
+// _robust_widths, ported): rw[qi*num_sw + s] = the minimal window width
+// covering ceil(q * cnt_s) of super s's edges (duplicates count), via a
+// sliding window over the super's sorted columns.  Also emits per-super
+// edge count and min/max column.  Empty supers get rw = 1<<40 (the
+// Python path's "impossible" sentinel), cnt = 0, min = 0, max = -1.
+int32_t hcspmm_band_robust(const int32_t* rp, const int32_t* ci,
+                           int64_t n, int32_t band_h, const double* qs,
+                           int32_t nq, int64_t* cnt, int64_t* min_col,
+                           int64_t* max_col, int64_t* rw) {
+  if (n < 0 || band_h <= 0 || nq < 0) return 1;
+  const int64_t num_sw = (n + band_h - 1) / band_h;
+  const int64_t kBig = int64_t(1) << 40;
+#pragma omp parallel
+  {
+    std::vector<int32_t> cols;
+#pragma omp for schedule(dynamic, 16)
+    for (int64_t s = 0; s < num_sw; ++s) {
+      const int64_t r0 = s * band_h;
+      const int64_t r1 = std::min<int64_t>(r0 + band_h, n);
+      const int64_t e0 = rp[r0], e1 = rp[r1];
+      const int64_t m = e1 - e0;
+      cnt[s] = m;
+      if (m == 0) {
+        min_col[s] = 0;
+        max_col[s] = -1;
+        for (int32_t qi = 0; qi < nq; ++qi) rw[qi * num_sw + s] = kBig;
+        continue;
+      }
+      cols.assign(ci + e0, ci + e1);
+      std::sort(cols.begin(), cols.end());
+      min_col[s] = cols.front();
+      max_col[s] = cols.back();
+      for (int32_t qi = 0; qi < nq; ++qi) {
+        int64_t k = static_cast<int64_t>(std::ceil(qs[qi] * double(m)));
+        k = std::max<int64_t>(k, 1);
+        int64_t best = kBig;
+        for (int64_t i = 0; i + k - 1 < m; ++i)
+          best = std::min<int64_t>(best, cols[i + k - 1] - cols[i] + 1);
+        rw[qi * num_sw + s] = best;
+      }
+    }
+  }
+  return 0;
+}
+
+// Best align-aligned window placement per (candidate width, superwindow)
+// (format/plan.py _place_band_windows, ported): candidates are the
+// aligned starts at-or-below each edge column; the winner covers the
+// most edges, ties broken toward the smallest start.  ``mask`` (uint8,
+// may be NULL) selects the participating edges; ``cnt`` returns the
+// per-super selected-edge count.  Empty supers: cov = 0, start = 0.
+int32_t hcspmm_band_place(const int32_t* rp, const int32_t* ci, int64_t n,
+                          int32_t band_h, int64_t align,
+                          const int64_t* widths, int32_t nb,
+                          const uint8_t* mask, int64_t* cov,
+                          int64_t* start, int64_t* cnt) {
+  if (n < 0 || band_h <= 0 || align <= 0 || nb < 0) return 1;
+  const int64_t num_sw = (n + band_h - 1) / band_h;
+#pragma omp parallel
+  {
+    std::vector<int32_t> cols;
+#pragma omp for schedule(dynamic, 16)
+    for (int64_t s = 0; s < num_sw; ++s) {
+      const int64_t r0 = s * band_h;
+      const int64_t r1 = std::min<int64_t>(r0 + band_h, n);
+      const int64_t e0 = rp[r0], e1 = rp[r1];
+      cols.clear();
+      for (int64_t e = e0; e < e1; ++e)
+        if (!mask || mask[e]) cols.push_back(ci[e]);
+      const int64_t m = static_cast<int64_t>(cols.size());
+      cnt[s] = m;
+      if (m == 0) {
+        for (int32_t b = 0; b < nb; ++b) {
+          cov[b * num_sw + s] = 0;
+          start[b * num_sw + s] = 0;
+        }
+        continue;
+      }
+      std::sort(cols.begin(), cols.end());
+      for (int32_t b = 0; b < nb; ++b) {
+        const int64_t w = widths[b];
+        int64_t best_cov = -1, best_start = 0;
+        int64_t hi = 0;
+        for (int64_t i = 0; i < m;) {
+          const int64_t a = (int64_t(cols[i]) / align) * align;
+          // edges in [a, a + w): hi only moves forward (a ascends)
+          if (hi < i) hi = i;
+          while (hi < m && cols[hi] < a + w) ++hi;
+          if (hi - i > best_cov) {
+            best_cov = hi - i;
+            best_start = a;
+          }
+          // next distinct quantized candidate
+          const int64_t q = int64_t(cols[i]) / align;
+          do {
+            ++i;
+          } while (i < m && int64_t(cols[i]) / align == q);
+        }
+        cov[b * num_sw + s] = best_cov;
+        start[b * num_sw + s] = best_start;
+      }
+    }
   }
   return 0;
 }

@@ -151,3 +151,67 @@ def test_auto_band_width_vmem_cap():
     rp, ci = io.to_csr(src, dst, nn)
     plan = build_plan(rp, ci, nn, PlanConfig(impl="pallas", band_h=256))
     assert all(w <= 2048 for w in plan.band_widths), plan.band_widths
+
+
+def test_native_band_robust_and_place_match_numpy():
+    """native hcspmm_band_robust / hcspmm_band_place vs the NumPy oracle
+    (_robust_widths / _place_band_windows), masked and unmasked."""
+    import pytest
+
+    from hcspmm_tpu.format.plan import (
+        _BIG, _place_band_windows, _robust_widths, _seg_of_positions)
+    from hcspmm_tpu.format.windows import (
+        _native_lib, native_band_place, native_band_robust)
+
+    if _native_lib() is None:
+        pytest.skip("native lib unavailable")
+    rng = np.random.RandomState(1)
+    n, bh = 500, 64
+    deg = rng.randint(0, 12, n)
+    rp = np.zeros(n + 1, np.int32)
+    np.cumsum(deg, out=rp[1:])
+    ci = rng.randint(0, n, int(rp[-1])).astype(np.int32)
+    for r in range(n):
+        ci[rp[r]: rp[r + 1]] = np.sort(ci[rp[r]: rp[r + 1]])
+    num_sw = (n + bh - 1) // bh
+    rp64 = np.asarray(rp, np.int64)
+    ci64 = np.asarray(ci, np.int64)
+    e_start = rp64[np.minimum(np.arange(num_sw, dtype=np.int64) * bh, n)]
+    e_end = np.append(e_start[1:], len(ci64))
+    ne = np.where(e_end > e_start)[0]
+    sw_of_edge = _seg_of_positions(e_start, len(ci64))
+    keys = np.sort(sw_of_edge * _BIG + ci64)
+
+    qs = (0.5, 0.9, 1.0)
+    rw_np = _robust_widths(keys, e_start, e_end, ne, qs)
+    cnt, mn, mx, rw_nat = native_band_robust(rp, ci, n, bh, qs)
+    np.testing.assert_array_equal(rw_np, rw_nat[:, ne])
+    np.testing.assert_array_equal(cnt, e_end - e_start)
+
+    widths = (64, 128)
+    for align in (16, 64):
+        cov_np = np.zeros((2, len(ne)), np.int64)
+        st_np = np.zeros((2, len(ne)), np.int64)
+        for b, wb in enumerate(widths):
+            cov_np[b], st_np[b] = _place_band_windows(
+                keys, e_start[ne], int(wb), align=align)
+        covf, stf, cntp = native_band_place(rp, ci, n, bh, align, widths)
+        np.testing.assert_array_equal(cov_np, covf[:, ne])
+        np.testing.assert_array_equal(st_np, stf[:, ne])
+
+    # masked placement
+    m = rng.rand(len(ci)) > 0.4
+    rc = np.bincount(sw_of_edge[m], minlength=num_sw).astype(np.int64)
+    pos = np.zeros(num_sw + 1, np.int64)
+    np.cumsum(rc, out=pos[1:])
+    nem = np.where(rc > 0)[0]
+    keys_m = np.sort((sw_of_edge * _BIG + ci64)[m])
+    cm = np.zeros((2, len(nem)), np.int64)
+    sm = np.zeros((2, len(nem)), np.int64)
+    for b, wb in enumerate(widths):
+        cm[b], sm[b] = _place_band_windows(
+            keys_m, pos[:-1][nem], int(wb), align=16)
+    covm, stm, cntm = native_band_place(rp, ci, n, bh, 16, widths, mask=m)
+    np.testing.assert_array_equal(cm, covm[:, nem])
+    np.testing.assert_array_equal(sm, stm[:, nem])
+    np.testing.assert_array_equal(cntm, rc)

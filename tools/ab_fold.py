@@ -5,7 +5,10 @@ padded layout at dim=32 — the reference's Table XVI SAG shape
 cross-process comparisons meaningless).
 
 Optional env: AB_FOLD_DIM (default 32), AB_FOLD (default 4),
-AB_FOLD_NODES (default DD scale)."""
+AB_FOLD_NODES (default DD scale), AB_FOLD_BH / AB_FOLD_BH_B (band_h of
+the A / B variant — folding makes X re-fetch 4x cheaper, which moves
+the optimal band_h DOWN: smaller bh => narrower W => fewer A elements,
+the compute wall)."""
 
 from __future__ import annotations
 
@@ -39,9 +42,12 @@ def main() -> int:
     x = jnp.asarray(np.random.RandomState(0).randn(nn, dim)
                     .astype(np.float32)).astype(jnp.bfloat16)
 
-    def make(f):
+    bh_a = int(_os.environ.get("AB_FOLD_BH", 256))
+    bh_b = int(_os.environ.get("AB_FOLD_BH_B", bh_a))
+
+    def make(f, bh=256):
         cfg = PlanConfig(compute_dtype="bfloat16", impl="pallas",
-                         band_h=256, band_mode="always", band_fold=f)
+                         band_h=bh, band_mode="always", band_fold=f)
         op = HybridSpMM(rp, ci, nn, cfg)
         assert op.supports_padded, f
 
@@ -54,10 +60,12 @@ def main() -> int:
 
         return W, op.pad_input(x), op.plan
 
-    a_op, a_x, a_plan = make(1)
-    b_op, b_x, b_plan = make(fold)
-    print(f"A fold=1 widths={a_plan.band_widths} spill={a_plan.spill_nnz}  "
-          f"B fold={fold} widths={b_plan.band_widths} "
+    a_fold = int(_os.environ.get("AB_FOLD_A", 1))
+    a_op, a_x, a_plan = make(a_fold, bh_a)
+    b_op, b_x, b_plan = make(fold, bh_b)
+    print(f"A fold={a_fold} bh={bh_a} widths={a_plan.band_widths} "
+          f"spill={a_plan.spill_nnz}  "
+          f"B fold={fold} bh={bh_b} widths={b_plan.band_widths} "
           f"spill={b_plan.spill_nnz}  xf={tuple(b_x.shape)}",
           file=_sys.stderr)
     for rnd in range(3):
