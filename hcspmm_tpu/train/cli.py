@@ -60,8 +60,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--synthetic-nodes", type=int, default=65536)
     p.add_argument("--synthetic-degree", type=float, default=8.0)
     p.add_argument("--checkpoint", type=str, default="")
+    p.add_argument("--checkpoint-every", type=int, default=0,
+                   help="save --checkpoint every N epochs during training "
+                        "(enables elastic resume, train.elastic)")
     p.add_argument("--resume", type=str, default="",
                    help="checkpoint to load params from before training")
+    p.add_argument("--fault-epoch", type=int, default=0,
+                   help="fault injection: crash at this absolute epoch "
+                        "(elastic-recovery testing, train.elastic)")
     p.add_argument("--normalize", action="store_true",
                    help="symmetric-normalized aggregation D^-1/2 A D^-1/2 "
                         "(the reference computes degrees but never applies "
@@ -159,18 +165,32 @@ def main(argv=None) -> int:
         num_layers=args.num_layers,
     )
     init_params = None
+    start_epoch = 0
     if args.resume:
         from hcspmm_tpu.utils.checkpoint import load_pytree
         init_params, meta = load_pytree(args.resume)
+        start_epoch = int(meta.get("epoch", 0))
         logger.log(event="resume", path=args.resume, **meta)
     res = train(net, op, ds.x, ds.y, epochs=args.epochs,
-                seed=args.seed, logger=logger, init_params=init_params)
+                seed=args.seed, logger=logger, init_params=init_params,
+                checkpoint_path=args.checkpoint or None,
+                checkpoint_every=args.checkpoint_every,
+                start_epoch=start_epoch,
+                fault_epoch=args.fault_epoch or None,
+                # periodic checkpointing needs per-epoch (or small-chunk)
+                # granularity; the default 10-epoch scan chunks would
+                # quantize the save points
+                scan_chunk=(1 if args.checkpoint_every else 10))
     logger.log(event="done", epoch_ms=res["epoch_ms"], final_loss=res["final_loss"])
 
     if args.checkpoint:
         from hcspmm_tpu.utils.checkpoint import save_pytree
         save_pytree(args.checkpoint, res["params"],
-                    {"model": args.model, "epochs": args.epochs})
+                    {"model": args.model,
+                     # absolute epoch counter: what the elastic supervisor
+                     # reads to decide whether the run is complete
+                     "epoch": start_epoch + args.epochs,
+                     "epochs": args.epochs})
         print(f"checkpoint saved to {args.checkpoint}")
     return 0
 

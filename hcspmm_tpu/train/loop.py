@@ -140,9 +140,24 @@ def train(
     logger: Optional[MetricLogger] = None,
     init_params: Optional[List[Dict]] = None,
     scan_chunk: int = 10,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 0,
+    start_epoch: int = 0,
+    fault_epoch: Optional[int] = None,
 ) -> Dict:
     """Runs warm-up + timed epochs; returns params and timing stats.
     ``init_params`` resumes from a checkpoint instead of fresh init.
+
+    ``checkpoint_path`` + ``checkpoint_every > 0`` save the params every
+    that many epochs (metadata carries the absolute epoch counter
+    ``start_epoch + done``) — the persistence half of the elastic
+    supervisor (train.elastic); each save syncs the device, so leave it
+    off for timing runs.
+
+    ``fault_epoch`` is the fault-injection hook (SURVEY.md §5): the loop
+    raises RuntimeError once the absolute epoch counter passes it (after
+    any due checkpoint save), simulating a worker crash so the elastic
+    supervisor's detection + resume path can be exercised deterministically.
 
     ``scan_chunk > 1`` runs epochs in lax.scan chains of that length (one
     dispatch per chunk): per-epoch host dispatch costs ~35 ms RTT on a
@@ -202,6 +217,18 @@ def train(
                 collect.append(last)
                 if logger is not None:
                     logger.log(epoch=done - 1, loss=float(last))
+                if (checkpoint_path and checkpoint_every > 0
+                        and (done // checkpoint_every
+                             > (done - c) // checkpoint_every)):
+                    from hcspmm_tpu.utils.checkpoint import save_pytree
+
+                    save_pytree(checkpoint_path, params, {
+                        "epoch": start_epoch + done,
+                        "loss": float(last),
+                    })
+                if fault_epoch is not None and start_epoch + done >= fault_epoch:
+                    raise RuntimeError(
+                        f"injected fault at epoch {start_epoch + done}")
         return params, opt_state, rng
 
     # Dry-run epochs (main.py:157-159) double as jit warm-up; one extra

@@ -24,15 +24,22 @@ def _skeleton(tree) -> Any:
 
 
 def save_pytree(path: str, tree, metadata: dict | None = None) -> None:
+    """Atomic save: a crash mid-write (the failure mode the elastic
+    supervisor recovers from, train.elastic) must never corrupt the last
+    good checkpoint, so the file is written to a temp name and
+    os.replace()d into place."""
     leaves, treedef = jax.tree.flatten(tree)
     arrays = {f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)}
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    final = path if path.endswith(".npz") else path + ".npz"
+    tmp = final + f".tmp.{os.getpid()}.npz"
     np.savez(
-        path,
+        tmp,
         __treedef__=json.dumps(jax.tree.map(lambda _: _PLACEHOLDER, tree)),
         __meta__=json.dumps(metadata or {}),
         **arrays,
     )
+    os.replace(tmp, final)
 
 
 def load_pytree(path: str) -> Tuple[Any, dict]:
