@@ -497,7 +497,13 @@ def build_plan(
     wh = config.window_h
     widths = tuple(config.bucket_widths)
     n, c = num_nodes, num_cols
-    column_index = np.asarray(column_index, dtype=np.int64)
+    # keep ci int32: every consumer either upcasts through an int64
+    # partner (key math, window-start subtraction) or wants int32 anyway
+    # (native passes, plan arrays) — the int64 detour copied 8 B/edge
+    # three extra times at DD scale
+    column_index = np.ascontiguousarray(column_index)
+    if column_index.dtype != np.int32:
+        column_index = column_index.astype(np.int32)
     nnz = int(len(wa.edge_to_row))
 
     rp64 = np.asarray(row_pointers, dtype=np.int64)

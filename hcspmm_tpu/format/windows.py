@@ -218,7 +218,12 @@ def analyze_windows(
     rectangular operand (a row-block shard of a square adjacency, used by
     the distributed layer) pass ``num_cols`` = global column count."""
     row_pointers = np.asarray(row_pointers, dtype=np.int64)
-    column_index = np.asarray(column_index, dtype=np.int64)
+    # ci stays int32: the native analyzer consumes int32 directly and the
+    # NumPy fallback's key math upcasts through its int64 partner — the
+    # unconditional int64 copy cost 8 B/edge twice per analysis
+    column_index = np.ascontiguousarray(column_index)
+    if column_index.dtype != np.int32:
+        column_index = column_index.astype(np.int32)
     nnz = int(row_pointers[-1])
     num_windows = (num_nodes + window_h - 1) // window_h
     num_cols = num_nodes if num_cols is None else num_cols

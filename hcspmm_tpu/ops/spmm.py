@@ -560,9 +560,12 @@ class HybridSpMM:
                     k.startswith("band") or k.startswith("tp")
                 )
                 if is_band_a and v.ndim == 3 and v.shape[1] % 8 == 0:
-                    packed = np.packbits(
-                        v.astype(np.uint8), axis=1, bitorder="little"
-                    )
+                    # 0/1 int8 blocks reinterpret as uint8 zero-copy —
+                    # astype here copied the full dense band (171 MB at
+                    # DD scale, ~2.4 s of fresh-page writes on this VM)
+                    bits = v.view(np.uint8) if v.dtype == np.int8 \
+                        else v.astype(np.uint8)
+                    packed = np.packbits(bits, axis=1, bitorder="little")
                     a = _expand_row_bits(jnp.asarray(packed), v.shape[1])
                 else:
                     a = jnp.asarray(v)
