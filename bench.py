@@ -68,6 +68,12 @@ def main() -> int:
 
     import jax
 
+    # HCSPMM_BENCH_DEVICE=cpu forces the host platform (the axon plugin
+    # ignores JAX_PLATFORMS, so the config update is the only switch) —
+    # used for wiring dry-runs; perf numbers come from the TPU default
+    if os.environ.get("HCSPMM_BENCH_DEVICE", "") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
     # persistent compile cache: the axon tunnel costs 30-60 s per kernel
     # compile, and plans produce several distinct pallas_call shapes
     jax.config.update("jax_compilation_cache_dir",

@@ -148,7 +148,16 @@ def main() -> int:
     p.add_argument("--reorder", type=str, default="rcm")
     p.add_argument("--scale", type=float, default=1.0,
                    help="stand-in graph scale for the baseline configs")
+    p.add_argument("--device", type=str, default="auto",
+                   choices=["auto", "cpu"],
+                   help="cpu forces the host platform (wiring dry-runs; "
+                        "the axon plugin ignores JAX_PLATFORMS)")
     args = p.parse_args()
+
+    if args.device == "cpu":
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", "cpu")
 
     from hcspmm_tpu.train.cli import enable_compile_cache
 
