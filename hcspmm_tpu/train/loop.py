@@ -124,6 +124,7 @@ def make_train_step(
         return _step(params, opt_state, arrays, x, y, rng)
 
     train_step.step_with_arrays = _step
+    train_step.loss_with_arrays = loss_fn  # forward-only (epoch fwd timing)
     train_step.arrays = arrays
     return train_step
 

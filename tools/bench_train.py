@@ -61,6 +61,41 @@ def epoch_time(step_fn, params, opt_state, x, y, rng, k1=2, k2=8, trials=3):
     return diffs[len(diffs) // 2] / (k2 - k1)
 
 
+def forward_time(step_fn, params, x, y, rng, k1=2, k2=8, trials=3):
+    """Forward-pass-only epoch seconds (reference Tables VIII/IX split
+    epoch time into Fwd and Bwd; bwd here = full step - fwd)."""
+    import jax
+
+    arrays = getattr(step_fn, "arrays", None)
+    loss_fn = step_fn.loss_with_arrays
+
+    def make(k):
+        @jax.jit
+        def g(params, arrs, x, y, rng):
+            def body(xc, _):
+                loss = loss_fn(params, arrs, xc, y, rng)
+                # loss -> next-x dependency: without it XLA hoists the
+                # (iteration-invariant) loss out of the scan and the
+                # chain measures nothing (models/sag.py trick)
+                upd = xc[:8, :8] * (1 + loss.astype(xc.dtype) * 1e-30)
+                return jax.lax.dynamic_update_slice(xc, upd, (0, 0)), loss
+            _, losses = jax.lax.scan(body, x, None, length=k)
+            return losses[-1]
+        return g
+
+    g1, g2 = make(k1), make(k2)
+    float(g1(params, arrays, x, y, rng))
+    float(g2(params, arrays, x, y, rng))
+
+    def one(g):
+        t0 = time.perf_counter()
+        float(g(params, arrays, x, y, rng))
+        return time.perf_counter() - t0
+
+    diffs = sorted(one(g2) - one(g1) for _ in range(trials))
+    return diffs[len(diffs) // 2] / (k2 - k1)
+
+
 def make_graph(spec, nodes, degree, block, seed=7):
     """'blocks' | 'standin:KEY[@scale]' | 'powerlaw' -> (rp, ci, n, dim)."""
     from hcspmm_tpu.graphs import io
@@ -122,11 +157,16 @@ def run_config(name, model, layers, hidden, dim, classes, nodes, degree,
         x = op.pad_input(x)  # closed padded layout, as train.loop does
     y = jnp.ones(nn, dtype=jnp.int32)
     dur = epoch_time(step, params, opt_state, x, y, rng)
+    fwd = forward_time(step, params, x, y, rng)
     rec = {
         "config": name, "model": model, "layers": layers, "hidden": hidden,
         "dim": dim, "nodes": nn, "nnz": nnz, "impl": impl, "dtype": dtype,
         "band": band, "reorder": reorder_mode, "graph": graph,
         "epoch_ms": round(dur * 1e3, 3),
+        # reference Tables VIII/IX split: fwd = forward-only epoch;
+        # bwd here = full step (fwd+bwd+Adam) minus fwd
+        "fwd_ms": round(fwd * 1e3, 3),
+        "bwd_ms": round(max(dur - fwd, 0.0) * 1e3, 3),
         "prep_s": round(prep_s, 3),
         "band_nnz_frac": round(op.plan.band_nnz / max(op.plan.nnz, 1), 3),
         "spill_nnz_frac": round(
