@@ -160,6 +160,12 @@ class PlanConfig:
     gather_ns_per_row: Optional[float] = None
     take_gbps: float = 27.0
     stream_gbps: float = 900.0  # measured ~970 GB/s effective on v5e
+    # Breaking full band cover (dropping a super / dense-routing a window)
+    # forfeits the closed padded layout: the rows layout re-pads/slices
+    # every application — charged as this many extra [M, dp] streaming
+    # passes, paid COLLECTIVELY by the cover-breaking routing decisions.
+    # 0 restores pure marginal-cost routing (tests/ablations).
+    glue_passes: float = 2.0
     # LOI mode: 'intended' | 'degenerate' | 'calibrated' | 'all_dense'
     # | 'all_sparse'.  'degenerate' reproduces the reference's live line
     # (hybrid_all_kernel.cu:262, missing `> 0`) for bit-parity experiments.

@@ -759,6 +759,20 @@ def build_plan(
             dense_routed_w = tc_w & (win_bucket_cost < uncov_w * g_ns)
             if config.band_mode == "always":
                 dense_routed_w &= False
+            # Layout-aware routing (round 2): ANY dense-routed window (or
+            # dropped super, below) breaks full band cover, which forfeits
+            # the closed padded layout — the rows layout re-pads/slices
+            # every application, ~2 extra [M, dp] passes of glue.  Full-
+            # cover-breaking routing must beat that fixed cost COLLECTIVELY,
+            # not just its own marginal gather cost.
+            glue_s = (getattr(config, "glue_passes", 2.0)
+                      * (num_sw * bh) * dnom * xbytes / bw_s)
+            if dense_routed_w.any():
+                save_dense = float(
+                    (uncov_w[dense_routed_w] * g_ns
+                     - win_bucket_cost[dense_routed_w]).sum())
+                if save_dense < glue_s:
+                    dense_routed_w &= False
 
             # pass 2: re-place band on non-bucket edges, per-super on/off
             tc_e = dense_routed_w[wa.edge_to_window]
@@ -822,6 +836,17 @@ def build_plan(
                 band_on[ne] = cov_b[best_b, ar_ne] > 0
             else:
                 band_on = (rest_cnt > 0) & (c_band < gather_rest_s)
+                # layout-aware keep (see glue_s above): dropping supers
+                # from the band must collectively save more than the
+                # padded-layout glue it forfeits
+                droppable = (rest_cnt > 0) & ~band_on
+                if (not dense_routed_w.any() and droppable.any()
+                        and band_on.any()):
+                    drop_saving = float(
+                        (c_band[droppable] - gather_rest_s[droppable])
+                        .sum())
+                    if drop_saving < glue_s:
+                        band_on = band_on | droppable
             band_sel = band_on
             bucket_sw = best_rest
             start = st_rest

@@ -178,8 +178,12 @@ def test_bucket_windows_inside_banded_supers(impl):
             src.extend([r] * 6)
             dst.extend(cols)
     rp, ci = io.to_csr(np.array(src), np.array(dst), n)
+    # glue_passes=0: pure marginal-cost routing — at this tiny scale the
+    # layout-aware collective threshold (config.glue_passes) would keep
+    # everything banded, and this test exists to exercise the merged
+    # band+bucket+spill plan
     cfg = PlanConfig(loi_mode="all_dense", impl=impl, band_mode="auto",
-                     band_h=256, band_widths=(256,))
+                     band_h=256, band_widths=(256,), glue_passes=0.0)
     op = HybridSpMM(rp, ci, n, cfg)
     p = op.plan
     assert p.band_nnz > 0 and p.dense_nnz > 0, (p.band_nnz, p.dense_nnz)
@@ -188,3 +192,30 @@ def test_bucket_windows_inside_banded_supers(impl):
     out = np.asarray(op.apply(op.arrays, x))
     scale = np.abs(ref).max() + 1e-9
     assert np.abs(out - ref).max() / scale < 1e-5
+
+
+def test_layout_aware_keep_preserves_full_cover():
+    """A graph where a lone superwindow's band is marginally unprofitable
+    keeps full cover under the default glue_passes (the closed padded
+    layout is worth more than the marginal drop), and drops it under
+    glue_passes=0 — the round-2 layout-aware routing rule."""
+    rng = np.random.RandomState(1)
+    n = 2048
+    src, dst = [], []
+    # supers 0..6: tight local bands (clearly profitable)
+    for s in range(0, 1792, 256):
+        for r in range(s, s + 256):
+            cols = s + rng.randint(0, 128, size=6)
+            src.extend([r] * 6)
+            dst.extend(cols)
+    # super 7: two scattered edges (band unprofitable on margin)
+    for r in range(1792, 2048, 128):
+        src.append(r)
+        dst.append(int(rng.randint(0, n)))
+    rp, ci = io.to_csr(np.array(src), np.array(dst), n)
+    kw = dict(loi_mode="intended", impl="pallas", band_mode="auto",
+              band_h=256, band_widths=(512,))
+    p_keep = HybridSpMM(rp, ci, n, PlanConfig(**kw)).plan
+    p_drop = HybridSpMM(rp, ci, n, PlanConfig(glue_passes=0.0, **kw)).plan
+    assert p_keep.band_full_cover, "default glue_passes should keep cover"
+    assert not p_drop.band_full_cover, "glue_passes=0 should drop super 7"
