@@ -124,6 +124,7 @@ def main() -> int:
         extra["band_widths"] = tuple(int(v) for v in band_widths.split(","))
     if band_fold > 1:
         extra["band_fold"] = band_fold
+        band = "always"  # folded plans need full band coverage (format.plan)
     cfg = PlanConfig(loi_mode=mode, compute_dtype=dtype, impl=impl,
                      band_mode=band, band_impl=band_impl, **extra)
     op = HybridSpMM(rp, ci, nn, cfg)
