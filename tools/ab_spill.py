@@ -118,12 +118,39 @@ def main() -> int:
             xe.astype(jnp.float32), segv, num_segments=nrow + 1,
             indices_are_sorted=True)
 
+    # merge-cost variants: the production path adds the per-spill-row sums
+    # onto the band output.  scatter_rows is the current formulation
+    # (out.at[rows].add); segsum_global segment-sums straight into the
+    # global row space and adds densely (XLA scatter on TPU can serialize
+    # — the variant that wins here decides apply_spill's shape).
+    rowsv = jnp.asarray(np.asarray(arrs["spill_rows"]))
+    m_rows = plan.padded_rows
+    # global segment ids: each edge's local segment -> its global row
+    # (dropped sentinel -> row m_rows)
+    sr = np.asarray(arrs["spill_rows"]).astype(np.int64)
+    gseg_np = np.where(segs < nrow, sr[np.minimum(segs, nrow - 1)], m_rows)
+    g_sorted = bool(np.all(np.diff(gseg_np) >= 0))
+    g_seg = jnp.asarray(gseg_np.astype(np.int32))
+
+    def scatter_rows(x):
+        seg = take_f32(x)[:nrow]
+        buf = jnp.zeros((m_rows, x.shape[1]), jnp.float32)
+        return buf.at[rowsv].add(seg, mode="drop")
+
+    def segsum_global(x):
+        xe = jnp.take(x, colv, axis=0)
+        return jax.ops.segment_sum(
+            xe.astype(jnp.float32), g_seg, num_segments=m_rows + 1,
+            indices_are_sorted=g_sorted)[:m_rows]
+
     variants = {
         "take_f32": take_f32,
         "take_bf16": take_bf16,
         "take_only": take_only,
         "colsort": colsort,
         "dedup": dedup,
+        "scatter_rows": scatter_rows,
+        "segsum_global": segsum_global,
     }
     base = {
         "nnz_spill": ne, "unique_cols": len(uniq), "rows": nrow,
