@@ -683,18 +683,39 @@ def build_plan(
                 # from the quantile table (step interpolation — exact
                 # placement runs once for the winner, below)
                 qs_arr = np.asarray(qs)
-                best = None
-                for wc in sorted(cands):
+                cand_list = sorted(cands)
+                cost_w = {}
+                for wc in cand_list:
                     nq = (rw <= wc).sum(axis=0)
                     frac = np.where(nq > 0, qs_arr[np.maximum(nq - 1, 0)], 0.0)
                     cov = frac * E_ne
-                    band_c = (bh * wc + wc * dnom * xbytes) / bw_s \
+                    cost_w[wc] = (bh * wc + wc * dnom * xbytes) / bw_s \
                         + (E_ne - cov) * g_ns
-                    tot = float(np.minimum(band_c, sparse_cost[ne]).sum())
+                best = None
+                for wc in cand_list:
+                    tot = float(np.minimum(cost_w[wc], sparse_cost[ne]).sum())
                     if best is None or tot < best[0]:
-                        best = (tot, wc)
-                band_widths = (best[1],)
-                caps_s = (0,)
+                        best = (tot, (wc,))
+                # 2-width ladders: a narrow bucket can band the loose-
+                # extent supers a single wide bucket would drop to the
+                # gather path (e.g. RD stand-in: 1482/4746 supers dropped
+                # at the single 2048).  A second bucket costs a second
+                # kernel launch + block-scatter merge that the byte model
+                # does not see — round-1 hardware measured a modeled-16%-
+                # cheaper split LOSING (606 vs 548 us at DD scale), so the
+                # pair must beat the best single by a wide margin (15%)
+                # plus the fixed launch cost.
+                split_penalty_s = 60e-6
+                best_single = best[0]
+                for i, w_lo in enumerate(cand_list):
+                    for w_hi in cand_list[i + 1:]:
+                        tot = float(np.minimum(
+                            np.minimum(cost_w[w_lo], cost_w[w_hi]),
+                            sparse_cost[ne]).sum()) + split_penalty_s
+                        if tot < min(best[0], 0.85 * best_single):
+                            best = (tot, (w_lo, w_hi))
+                band_widths = best[1]
+                caps_s = (0,) * len(band_widths)
                 xp_rows = max(xp_rows, int(band_widths[-1]))
             # exact placement per ladder width; per-super bucket choice
             # minimizes modeled cost (band bytes + spill gather)

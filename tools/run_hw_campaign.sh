@@ -20,8 +20,10 @@ run_bench() {  # label, env...
   fi
 }
 
-# 1. DD headline (driver defaults) — regression check
+# 1. DD headline (driver defaults) — regression check; plus the round-1
+# fixed-width pick for an A/B against the spill-mode auto resolution
 run_bench dd_default HCSPMM_BENCH_K=20
+run_bench dd_w640 HCSPMM_BENCH_BAND_WIDTHS=640
 
 # 2. dim-32 (reference Table XVI shape): plain + folded layout (VERDICT #2)
 run_bench dd_dim32 HCSPMM_BENCH_DIM=32
