@@ -148,6 +148,10 @@ class ExecutionPlan:
     #   ~8 bytes/nnz instead of band_h*Bb bytes/superwindow)
     band_sw_ids: List[np.ndarray] = dataclasses.field(default_factory=list)
     #   int64 [Sb_real] global superwindow ids
+    band_missing_sw: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0, dtype=np.int32))
+    #   int32 [miss] supers in NO band bucket (partial cover): the padded
+    #   SpMM zeroes their output blocks before the spill add
     band_full_cover: bool = False  # every superwindow band-assigned ->
     #   direct-write kernels produce the output in place, no merge pass
     band_fold: int = 1  # narrow-dim folded layout (config.band_fold):
@@ -297,6 +301,12 @@ class ExecutionPlan:
             d["tp_last"] = _lap(self.pair_last, False)
             if dense_band:
                 d["tp_a"] = self.tiled_a_dense()
+        if len(self.band_widths) and self.num_cols == self.num_nodes:
+            # square plans only: the padded partial-cover path's zeroing
+            # list.  Shard (rectangular) plans never run padded, and its
+            # per-shard length is non-uniform, which would break the
+            # shard-uniform array stacking (parallel.partition).
+            d["band_missing_sw"] = self.band_missing_sw
         for s in range(len(self.band_widths)):
             d[f"band{s}_start"] = self.band_starts[s]
             if dense_band and not self.tiled:
@@ -573,6 +583,8 @@ def build_plan(
     xp_rows = c + 1
     band_nnz = 0
     spill_fields: dict = {}
+    spill_mode = False  # set inside the band block when band_spill='auto'
+    band_missing = np.zeros(0, dtype=np.int32)
     dense_routed_w = None  # set by spill-mode three-way routing
     caps_s = caps.band_supers or (0,) * len(band_widths)
     if len(caps_s) != len(band_widths):
@@ -840,34 +852,16 @@ def build_plan(
 
             S_rest = (bh * widths_arr[best_rest]
                       + widths_arr[best_rest] * dnom * xbytes) / bw_s
-            # gather cost of the rest edges if band is off: ELL-padded
-            # slots for whole non-bucket windows (they fall to ELL /
-            # residual), raw for spill-style leftovers — use the padded
-            # model as before
-            slot_pad = np.concatenate([slot, [0]])
-            w_row0 = np.minimum(
-                np.arange(wa.num_windows, dtype=np.int64) * wh, n)
-            slots_w = np.add.reduceat(slot_pad, w_row0) * (w_row0 < n)
-            gather_rest_s = np.bincount(
-                w_of_w, weights=np.where(~dense_routed_w, slots_w, 0)
-                * g_ns, minlength=num_sw)
-            c_band = S_rest + (rest_cnt - cov_rest) * g_ns
             if config.band_mode == "always":
                 band_on = np.zeros(num_sw, dtype=bool)
                 band_on[ne] = cov_b[best_b, ar_ne] > 0
             else:
-                band_on = (rest_cnt > 0) & (c_band < gather_rest_s)
-                # layout-aware keep (see glue_s above): dropping supers
-                # from the band must collectively save more than the
-                # padded-layout glue it forfeits
-                droppable = (rest_cnt > 0) & ~band_on
-                if (not dense_routed_w.any() and droppable.any()
-                        and band_on.any()):
-                    drop_saving = float(
-                        (c_band[droppable] - gather_rest_s[droppable])
-                        .sum())
-                    if drop_saving < glue_s:
-                        band_on = band_on | droppable
+                # band on iff streaming the block beats raw-gathering the
+                # edges it covers (a dropped super's edges ride the spill
+                # population — one sorted take per edge — and its output
+                # block zeroes; spmm_pallas_padded handles partial cover,
+                # so no layout-glue term here, unlike dense routing above)
+                band_on = (rest_cnt > 0) & (S_rest < cov_rest * g_ns)
             band_sel = band_on
             bucket_sw = best_rest
             start = st_rest
@@ -1000,7 +994,15 @@ def build_plan(
             bandwin_e = (band_sel[sw_of_edge]
                          & ~dense_routed_w[wa.edge_to_window])
             in_win_e &= bandwin_e
-            spill_mask_e = bandwin_e & ~in_win_e
+            # NON-banded supers' edges also ride the spill population
+            # (round 2): one sorted segment-sum + scatter-add instead of
+            # the ELL per-row-DMA / residual paths, and — decisive — the
+            # padded layout stays closed under PARTIAL band cover (their
+            # output blocks zero + spill adds; see
+            # kernels.block_spmm.spmm_pallas_padded).
+            nonband_e = (~band_sel[sw_of_edge]
+                         & ~dense_routed_w[wa.edge_to_window])
+            spill_mask_e = (bandwin_e & ~in_win_e) | nonband_e
         else:
             in_win_e = np.ones(len(column_index), dtype=bool)
             spill_mask_e = np.zeros(len(column_index), dtype=bool)
@@ -1033,6 +1035,9 @@ def build_plan(
             band_starts.append(starts_arr)
             band_edges.append(edges)
             band_sw_ids.append(sws)
+        # supers in no bucket (partial cover): the padded SpMM zeroes
+        # their blocks (their edges are in the spill population)
+        band_missing = np.where(~band_sel)[0].astype(np.int32)
         w_of = (np.arange(wa.num_windows, dtype=np.int64) * wh) // bh
         band_window_mask = band_sel[w_of]
         if dense_routed_w is not None:
@@ -1094,6 +1099,11 @@ def build_plan(
             & ~band_window_mask
         )
     sparse_mask_w = ~dense_mask_w & (wa.edge_counts > 0) & ~band_window_mask
+    if spill_mode:
+        # spill-mode routing is total: banded supers' out-of-window edges
+        # and ALL non-banded supers' (non-dense) edges are already in the
+        # spill population — nothing remains for the ELL/residual paths
+        sparse_mask_w &= False
 
     # -------------------- dense buckets --------------------
     # bucket index per dense window: smallest Kb >= unique_count
@@ -1253,6 +1263,7 @@ def build_plan(
         band_starts=band_starts,
         band_edges=band_edges,
         band_sw_ids=band_sw_ids,
+        band_missing_sw=band_missing,
         band_full_cover=band_full_cover if band_widths else False,
         band_fold=fold,
         xp_rows=xp_rows,

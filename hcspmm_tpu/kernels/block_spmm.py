@@ -809,20 +809,36 @@ def _spmm_pallas_padded_folded(arrs, xf, plan, compute_dtype):
 
 
 def spmm_padded_supported(plan) -> bool:
-    """True when ``spmm_pallas_padded`` can run the closed padded layout:
-    full-coverage single-band-bucket plan whose starts were clamped into
-    the padded row space (format.plan builds them that way whenever
-    M >= band width)."""
+    """True when ``spmm_pallas_padded`` can run the closed padded layout.
+
+    Full cover: every superwindow block owned by exactly one bucket —
+    single bucket -> one direct write; multi-bucket -> main-bucket direct
+    write + block scatter.  PARTIAL cover also closes (round 2) when the
+    uncovered supers' edges all ride the spill population (spill-mode
+    routing guarantees this: format.plan routes non-banded supers to
+    spill, so the dense/ELL/residual row-merge populations are empty):
+    their blocks zero + spill adds."""
     if getattr(plan, "tiled", False):
         return True  # tiled pairs are canonical tiles inside [0, M) by
         #              construction (build gate: full cover, square)
-    if not plan.band_padded_ok:
+    if plan.band_padded_ok:
+        num_sw = plan.padded_rows // plan.band_h
+        if sum(len(s) for s in plan.band_sw_ids) == num_sw:
+            return True
+    # partial cover: starts must still be clamped into [0, M) and every
+    # non-band edge must be additive (spill) — no row-merge populations
+    if not (plan.band_widths and plan.num_cols == plan.num_nodes
+            and plan.dense_nnz == 0 and plan.sparse_nnz == 0
+            and getattr(plan, "band_fold", 1) == 1):
         return False
-    # full cover (from band_padded_ok) means every superwindow block is
-    # owned by exactly one bucket: single bucket -> one direct write;
-    # multi-bucket -> main-bucket direct write + block scatter
-    num_sw = plan.padded_rows // plan.band_h
-    return sum(len(s) for s in plan.band_sw_ids) == num_sw
+    m = plan.padded_rows
+    for s, bbw in enumerate(plan.band_widths):
+        st = plan.band_starts[s][: len(plan.band_sw_ids[s])]
+        if len(st) and int(st.max()) + bbw > m:
+            return False
+        if len(plan.band_starts[s]) > len(plan.band_sw_ids[s]) and bbw > m:
+            return False  # capacity-padded dummy DMA from row 0
+    return True
 
 
 def spmm_pallas_padded(arrs, xp, plan, compute_dtype):
@@ -847,6 +863,10 @@ def spmm_pallas_padded(arrs, xp, plan, compute_dtype):
     num_sw = m // plan.band_h
     nonempty = [i for i in range(len(plan.band_widths))
                 if arrs[f"band{i}_start"].shape[0] > 0]
+    if not nonempty:
+        # all-spill plan: every super's edges ride the spill population
+        buf = jnp.zeros((num_sw, plan.band_h, dp), xp.dtype)
+        return apply_spill(buf.reshape(m, dp), arrs, xp, plan)
     s_main = max(nonempty, key=lambda i: len(plan.band_sw_ids[i]))
     buf = band_bucket_spmm_direct(
         arrs[f"band{s_main}_sw"], arrs[f"band{s_main}_start"],
@@ -855,7 +875,9 @@ def spmm_pallas_padded(arrs, xp, plan, compute_dtype):
                > len(plan.band_sw_ids[s_main])),
     )
     # smaller buckets' blocks overwrite the main call's unwritten
-    # (garbage) blocks; full cover guarantees disjoint complete ownership
+    # (garbage) blocks; cover is completed by bucket ownership plus, under
+    # partial cover, zeroing the unowned supers (their edges are in the
+    # spill population — spmm_padded_supported gates on that)
     for i in nonempty:
         if i == s_main:
             continue
@@ -863,6 +885,9 @@ def spmm_pallas_padded(arrs, xp, plan, compute_dtype):
             arrs[f"band{i}_start"], arrs[f"band{i}_a"], xp
         ).astype(xp.dtype)
         buf = buf.at[arrs[f"band{i}_sw"]].set(part, mode="drop")
+    missing = arrs.get("band_missing_sw")
+    if missing is not None and missing.shape[0]:
+        buf = buf.at[missing].set(jnp.zeros((), xp.dtype), mode="drop")
     return apply_spill(buf.reshape(m, dp), arrs, xp, plan)
 
 

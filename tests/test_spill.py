@@ -194,11 +194,12 @@ def test_bucket_windows_inside_banded_supers(impl):
     assert np.abs(out - ref).max() / scale < 1e-5
 
 
-def test_layout_aware_keep_preserves_full_cover():
-    """A graph where a lone superwindow's band is marginally unprofitable
-    keeps full cover under the default glue_passes (the closed padded
-    layout is worth more than the marginal drop), and drops it under
-    glue_passes=0 — the round-2 layout-aware routing rule."""
+def test_partial_cover_padded_layout():
+    """A dropped superwindow (band unprofitable) does NOT forfeit the
+    closed padded layout: its edges ride the spill population, its output
+    block zeroes, and pad -> apply_padded -> unpad matches the oracle —
+    the round-2 partial-cover rule (kernels.block_spmm
+    spmm_padded_supported / spmm_pallas_padded)."""
     rng = np.random.RandomState(1)
     n = 2048
     src, dst = [], []
@@ -212,10 +213,32 @@ def test_layout_aware_keep_preserves_full_cover():
     for r in range(1792, 2048, 128):
         src.append(r)
         dst.append(int(rng.randint(0, n)))
-    rp, ci = io.to_csr(np.array(src), np.array(dst), n)
-    kw = dict(loi_mode="intended", impl="pallas", band_mode="auto",
-              band_h=256, band_widths=(512,))
-    p_keep = HybridSpMM(rp, ci, n, PlanConfig(**kw)).plan
-    p_drop = HybridSpMM(rp, ci, n, PlanConfig(glue_passes=0.0, **kw)).plan
-    assert p_keep.band_full_cover, "default glue_passes should keep cover"
-    assert not p_drop.band_full_cover, "glue_passes=0 should drop super 7"
+    # symmetrize (dedup): the default backward reuses untransposed A
+    pairs = np.unique(np.stack(
+        [np.concatenate([src, dst]), np.concatenate([dst, src])], 1), axis=0)
+    rp, ci = io.to_csr(pairs[:, 0], pairs[:, 1], n)
+    op = HybridSpMM(rp, ci, n, PlanConfig(
+        loi_mode="intended", impl="pallas", band_mode="auto",
+        band_h=256, band_widths=(512,)))
+    p = op.plan
+    assert not p.band_full_cover, "super 7 should drop to spill"
+    assert len(p.band_missing_sw) == 1 and int(p.band_missing_sw[0]) == 7
+    assert p.sparse_nnz == 0, "spill-mode routing is total"
+    assert op.supports_padded, "partial cover must keep the padded path"
+    x = rng.randn(n, 24).astype(np.float32)
+    xp = op.pad_input(jnp.asarray(x))
+    out = op.apply_padded(op.arrays, xp)
+    z = np.asarray(op.unpad_output(out, 24))
+    zref = spmm_reference_dense(rp, ci, n, x)
+    scale = np.abs(zref).max() + 1e-9
+    assert np.abs(z - zref).max() / scale < 1e-5
+    # gradient through the partial-cover padded op
+    g = np.asarray(jax.grad(
+        lambda v: (op.apply_padded(op.arrays, v) ** 2).sum())(xp))
+    a = np.zeros((n, n), np.float64)
+    for r in range(n):
+        a[r, ci[rp[r]: rp[r + 1]]] = 1.0
+    zd = a @ np.asarray(x, np.float64)
+    gref = 2.0 * (a.T @ zd)
+    scale = np.abs(gref).max() + 1e-9
+    assert np.abs(g[:n, :24] - gref).max() / scale < 1e-5
