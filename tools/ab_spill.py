@@ -17,9 +17,11 @@ Variants:
   dedup       global unique-col take, then expand by inverse index +
               sorted segment_sum (pays a second gather from the compact
               array; wins only if gather cost depends on source size)
-  onehot128   MXU formulation of the gather: per 128-edge group, one-hot
-              [128, M] @ X — skipped above 100k edges (A-bytes explode;
-              present to quantify the crossover on small populations)
+  colstream_only     column-streamed MXU gather kernel alone
+                     (kernels/colstream.py): 32 KB tile DMAs + one-hot
+                     dots instead of per-row take — the take_only rival
+  colstream_scatter  colstream gather + unsorted scatter-add merge onto
+                     the padded row space — the scatter_rows rival
 
 Env: HCSPMM_AB_NODES, HCSPMM_AB_DEGREE, HCSPMM_AB_GRAPH, HCSPMM_AB_DIM,
 HCSPMM_AB_DEVICE=cpu.
@@ -143,6 +145,25 @@ def main() -> int:
             xe.astype(jnp.float32), g_seg, num_segments=m_rows + 1,
             indices_are_sorted=g_sorted)[:m_rows]
 
+    # column-streamed MXU gather (kernels/colstream.py): real edges only
+    # (the plan arrays are capacity-padded at the tail)
+    from hcspmm_tpu.kernels.colstream import build_colstream, colstream_gather
+
+    nreal = plan.spill_nnz
+    rows_g = np.where(segs[:nreal] < nrow, sr[np.minimum(segs[:nreal],
+                                                         nrow - 1)], m_rows)
+    tb, cl, rf = build_colstream(cols[:nreal], rows_g, group=8)
+    tbv, clv = jnp.asarray(tb), jnp.asarray(cl)
+    rfv = jnp.asarray(rf)
+
+    def colstream_only(x):
+        return colstream_gather(tbv, clv, x, group=8)[:128]
+
+    def colstream_scatter(x):
+        g = colstream_gather(tbv, clv, x, group=8)
+        buf = jnp.zeros((m_rows, x.shape[1]), jnp.float32)
+        return buf.at[rfv].add(g, mode="drop")
+
     variants = {
         "take_f32": take_f32,
         "take_bf16": take_bf16,
@@ -151,6 +172,8 @@ def main() -> int:
         "dedup": dedup,
         "scatter_rows": scatter_rows,
         "segsum_global": segsum_global,
+        "colstream_only": colstream_only,
+        "colstream_scatter": colstream_scatter,
     }
     base = {
         "nnz_spill": ne, "unique_cols": len(uniq), "rows": nrow,

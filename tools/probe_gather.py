@@ -236,6 +236,41 @@ def main() -> int:
     run("xla_segsum_sorted_f32", op_segsum, vals, 2_000_000,
         2_000_000 * 512)
 
+    # ---- H: XLA scatter-add at HBM scale (the spill MERGE primitive) ----
+    # The streamed colstream gather (kernels/colstream.py) removes the
+    # take wall but leaves an UNSORTED row scatter-add; these rates decide
+    # whether that formulation wins end-to-end.
+    rows_r = rng.randint(0, NH, size=2_000_000).astype(np.int32)
+    rows_s = np.sort(rows_r)
+    for ridx, rname in ((rows_r, "random"), (rows_s, "sorted")):
+        rj = jnp.asarray(ridx)
+
+        def op_scatter_add(v, rj=rj):
+            buf = jnp.zeros((NH, 128), jnp.float32)
+            return buf.at[rj].add(v, mode="drop")[:128]
+
+        run(f"xla_scatter_add_{rname}_f32", op_scatter_add, vals,
+            2_000_000, 2_000_000 * 512)
+
+    # ---- I: column-streamed MXU gather kernel (kernels/colstream.py) ----
+    from hcspmm_tpu.kernels.colstream import build_colstream, colstream_gather
+
+    for en, name in ((2_000_000, "2m"), (250_000, "250k")):
+        cols_cs = rng.randint(0, NH, size=en)
+        rows_cs = rng.randint(0, NH, size=en)
+        tb, cl, _rf = build_colstream(cols_cs, rows_cs, group=8)
+
+        def op_cs(v, tb=jnp.asarray(tb), cl=jnp.asarray(cl)):
+            return colstream_gather(tb, cl, v, group=8)[:128]
+
+        fill = en / (tb.shape[0] * 128)
+        for dt, dn in ((jnp.float32, "f32"), (jnp.bfloat16, "bf16")):
+            xcs = jnp.asarray(rng.randn(NH + 128, 128), dtype=dt)
+            run(f"colstream_gather_{name}_{dn}", op_cs, xcs, en,
+                tb.shape[0] * 128 * 128 * np.dtype(dt).itemsize +
+                tb.shape[0] * 128 * 512,
+                extra={"chunks": int(tb.shape[0]), "fill": round(fill, 3)})
+
     return 0
 
 
