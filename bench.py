@@ -125,6 +125,9 @@ def main() -> int:
     if band_fold > 1:
         extra["band_fold"] = band_fold
         band = "always"  # folded plans need full band coverage (format.plan)
+    spill_impl = os.environ.get("HCSPMM_BENCH_SPILL", "take")
+    if spill_impl != "take":
+        extra["spill_impl"] = spill_impl
     cfg = PlanConfig(loi_mode=mode, compute_dtype=dtype, impl=impl,
                      band_mode=band, band_impl=band_impl, **extra)
     op = HybridSpMM(rp, ci, nn, cfg)

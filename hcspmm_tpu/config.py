@@ -134,6 +134,13 @@ class PlanConfig:
     # the local mass streams) instead of all-or-nothing extent selection.
     # 'never' restores strict full-extent selection (round-1 behavior).
     band_spill: str = "auto"
+    # Spill gather implementation: 'take' = XLA row gather + sorted
+    # segment-sum (production round 1); 'colstream' = column-streamed MXU
+    # one-hot gather (kernels/colstream.py) + scatter-add merge —
+    # sequential 32 KB tile DMAs instead of random row fetches.  Square
+    # pallas plans only (shard plans and the folded narrow-dim layout
+    # keep 'take'); tools/ab_spill.py decides the default from hardware.
+    spill_impl: str = "take"
     # Target edge-coverage quantile when resolving band widths from the
     # per-superwindow *robust* extent (minimal window covering this
     # fraction of the super's edges) instead of the full extent.

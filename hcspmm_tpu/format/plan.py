@@ -135,6 +135,13 @@ class ExecutionPlan:
     spill_rows: Optional[np.ndarray] = None      # int32 [Rp] global row ids
     spill_edge_col: Optional[np.ndarray] = None  # int32 [Ep], pad num_cols
     spill_edge_seg: Optional[np.ndarray] = None  # int32 [Ep] -> pos (pad Rp)
+    # column-streamed spill gather (config.spill_impl='colstream',
+    # kernels/colstream.py): chunked col-sorted edge layout.  Built for
+    # square pallas unfolded plans only; the take arrays above are always
+    # present as the fallback/oracle.
+    cs_tile: Optional[np.ndarray] = None   # int32 [C] 128-aligned X bases
+    cs_cols: Optional[np.ndarray] = None   # int32 [C, 128], pad 128
+    cs_rows: Optional[np.ndarray] = None   # int32 [C*128], pad INT32_MAX
 
     # ---- banded (MXU block-band) path: one entry per band-width bucket ----
     band_h: int = 16                          # superwindow height (rows)
@@ -276,6 +283,10 @@ class ExecutionPlan:
             d["spill_rows"] = self.spill_rows
             d["spill_edge_col"] = self.spill_edge_col
             d["spill_edge_seg"] = self.spill_edge_seg
+            if self.cs_tile is not None:
+                d["cs_tile"] = self.cs_tile
+                d["cs_cols"] = self.cs_cols
+                d["cs_rows"] = self.cs_rows
         for b in range(len(self.bucket_widths)):
             d[f"b{b}_cols"] = self.bucket_cols[b]
             d[f"b{b}_a"] = self.bucket_a[b]
@@ -1070,6 +1081,19 @@ def build_plan(
                 spill_edge_col=_pad_to(sp_cols_e, ep_cap, c),
                 spill_edge_seg=_pad_to(sp_seg, ep_cap, rp_cap),
             )
+            if (config.spill_impl == "colstream" and spill_nnz
+                    and config.impl == "pallas" and n == c and fold == 1
+                    and not (caps.num_spill_rows or caps.num_spill_edges)):
+                # column-streamed gather layout (kernels/colstream.py):
+                # square unfolded pallas plans; shard-uniform (caps) plans
+                # keep 'take' (chunk counts are not shard-uniform)
+                from hcspmm_tpu.kernels.colstream import build_colstream
+
+                cs_t, cs_c, cs_r = build_colstream(sp_cols_e, sp_rows_e)
+                spill_fields.update(cs_tile=cs_t, cs_cols=cs_c,
+                                    cs_rows=cs_r)
+                # X must cover whole 128-row tiles up to the last column
+                xp_rows = max(xp_rows, -(-c // 128) * 128)
 
     # -------------------- tiled band pair stream --------------------
     tiled_fields = {}

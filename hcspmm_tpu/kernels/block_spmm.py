@@ -750,9 +750,19 @@ def apply_spill(out, arrs, xsrc, plan):
     """Additive band+spill population (format.plan band_spill='auto'):
     segment-sum the spilled edges' gathered rows and scatter-ADD onto the
     assembled output.  Row padding is INT32_MAX, always out of bounds, so
-    ``mode='drop'`` discards it."""
+    ``mode='drop'`` discards it.
+
+    With ``config.spill_impl='colstream'`` plans the gather runs as the
+    column-streamed MXU kernel (kernels/colstream.py) whenever the source
+    is lane-complete (128-multiple width — the padded-layout call sites);
+    other call sites slice to the model dim first and keep the take path."""
     if not _has_spill(arrs, plan):
         return out
+    if "cs_tile" in arrs and xsrc.shape[1] % 128 == 0:
+        from hcspmm_tpu.kernels.colstream import colstream_spill
+
+        return colstream_spill(arrs["cs_tile"], arrs["cs_cols"],
+                               arrs["cs_rows"], xsrc, out)
     seg = _spill_seg(arrs, xsrc, plan)
     return out.at[arrs["spill_rows"]].add(seg.astype(out.dtype), mode="drop")
 

@@ -78,3 +78,59 @@ def test_colstream_spill_matches_take_path():
     ref = out0.copy()
     np.add.at(ref, rows, x[cols])
     np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-5)
+
+
+# ---------------- production integration (spill_impl='colstream') ----------
+
+
+def test_spill_impl_colstream_padded_e2e():
+    """HybridSpMM with spill_impl='colstream': plan carries the cs_*
+    arrays, the padded path routes apply_spill through the streamed
+    kernel, forward + gradient match the take-path op exactly-ish."""
+    from hcspmm_tpu.config import PlanConfig
+    from hcspmm_tpu.graphs import io
+    from hcspmm_tpu.ops.spmm import HybridSpMM, spmm_reference_dense
+
+    src, dst, n = io.synthetic_powerlaw(900, 5.0, seed=3)
+    rp, ci = io.to_csr(src, dst, n)
+    kw = dict(loi_mode="intended", impl="pallas", band_h=256,
+              band_widths=(256,), band_mode="auto")
+    op_t = HybridSpMM(rp, ci, n, PlanConfig(**kw))
+    op_c = HybridSpMM(rp, ci, n, PlanConfig(spill_impl="colstream", **kw))
+    assert op_t.plan.spill_nnz > 0
+    assert op_c.plan.cs_tile is not None and op_t.plan.cs_tile is None
+    assert "cs_tile" in op_c.arrays["f"]
+    rng = np.random.RandomState(0)
+    x = rng.randn(n, 32).astype(np.float32)
+    zref = spmm_reference_dense(rp, ci, n, x)
+    scale = np.abs(zref).max() + 1e-9
+    for op in (op_t, op_c):
+        assert op.supports_padded
+        xp = op.pad_input(jnp.asarray(x))
+        z = np.asarray(op.unpad_output(op.apply_padded(op.arrays, xp), 32))
+        assert np.abs(z - zref).max() / scale < 1e-5
+    # gradients agree between the two implementations
+    def loss(op, xp):
+        return (op.apply_padded(op.arrays, xp) ** 2).sum()
+    g_t = np.asarray(jax.grad(lambda v: loss(op_t, v))(
+        op_t.pad_input(jnp.asarray(x))))
+    g_c = np.asarray(jax.grad(lambda v: loss(op_c, v))(
+        op_c.pad_input(jnp.asarray(x))))
+    gs = np.abs(g_t).max() + 1e-9
+    assert np.abs(g_t[:n] - g_c[:n]).max() / gs < 1e-5
+
+
+def test_spill_impl_colstream_shard_plan_falls_back():
+    """Shard-uniform (caps) plans must NOT build colstream arrays."""
+    from hcspmm_tpu.config import PlanConfig
+    from hcspmm_tpu.format.plan import PlanCaps, build_plan
+    from hcspmm_tpu.graphs import io
+
+    src, dst, n = io.synthetic_powerlaw(600, 4.0, seed=1)
+    rp, ci = io.to_csr(src, dst, n)
+    p = build_plan(rp, ci, n, PlanConfig(
+        spill_impl="colstream", impl="pallas", band_h=256,
+        band_widths=(256,), band_mode="auto"),
+        caps=PlanCaps(num_spill_rows=4096, num_spill_edges=8192,
+                      band_supers=(8,)))
+    assert p.cs_tile is None

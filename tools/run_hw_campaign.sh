@@ -35,6 +35,18 @@ run_bench standin_dd HCSPMM_BENCH_GRAPH=standin:DD HCSPMM_BENCH_REORDER=cluster
 run_bench standin_rd_q HCSPMM_BENCH_GRAPH=standin:RD@0.25 HCSPMM_BENCH_REORDER=cluster
 run_bench standin_tt_q HCSPMM_BENCH_GRAPH=standin:TT@0.25 HCSPMM_BENCH_REORDER=cluster
 
+# 3b. spill-formulation A/B (kernels/colstream.py vs take) + bench rerun
+# with the streamed spill on the spill-heaviest configs
+timeout 1800 python tools/ab_spill.py >> "$OUT" 2>/tmp/campaign_abspill.log
+HCSPMM_AB_GRAPH=standin:RD@0.25 timeout 1800 python tools/ab_spill.py \
+  >> "$OUT" 2>/tmp/campaign_abspill_rd.log
+run_bench powerlaw_colstream HCSPMM_BENCH_GRAPH=powerlaw \
+  HCSPMM_BENCH_REORDER=cluster HCSPMM_BENCH_SPILL=colstream
+run_bench standin_rd_colstream HCSPMM_BENCH_GRAPH=standin:RD@0.25 \
+  HCSPMM_BENCH_REORDER=cluster HCSPMM_BENCH_SPILL=colstream
+run_bench standin_tt_colstream HCSPMM_BENCH_GRAPH=standin:TT@0.25 \
+  HCSPMM_BENCH_REORDER=cluster HCSPMM_BENCH_SPILL=colstream
+
 # 4. training epoch parity (VERDICT #6) + BASELINE configs (VERDICT #3)
 timeout 3000 python tools/bench_train.py --configs gcn2,gin5 \
   --nodes 334928 --degree 5.03 >> "$OUT" 2>/tmp/campaign_train.log
