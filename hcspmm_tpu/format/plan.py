@@ -159,6 +159,10 @@ class ExecutionPlan:
         default_factory=lambda: np.zeros(0, dtype=np.int32))
     #   int32 [miss] supers in NO band bucket (partial cover): the padded
     #   SpMM zeroes their output blocks before the spill add
+    band_ring: List[Optional[dict]] = dataclasses.field(default_factory=list)
+    #   per bucket: fetch-once X ring schedule (band_impl='ring',
+    #   kernels/ring_band.py) — {'pos','ftile','fslot','fvalid','flate'}
+    #   in the bucket's (start-sorted) grid order, or None
     band_full_cover: bool = False  # every superwindow band-assigned ->
     #   direct-write kernels produce the output in place, no merge pass
     band_fold: int = 1  # narrow-dim folded layout (config.band_fold):
@@ -330,6 +334,13 @@ class ExecutionPlan:
                 self.band_sw_ids[s].astype(np.int32),
                 self.band_starts[s].shape[0], num_sw,
             )
+            if s < len(self.band_ring) and self.band_ring[s] is not None:
+                rs = self.band_ring[s]
+                d[f"band{s}_rpos"] = rs["pos"]
+                d[f"band{s}_rft"] = rs["ftile"]
+                d[f"band{s}_rfs"] = rs["fslot"]
+                d[f"band{s}_rfv"] = rs["fvalid"]
+                d[f"band{s}_rfl"] = rs["flate"]
         return d
 
 
@@ -590,6 +601,7 @@ def build_plan(
     band_starts: List[np.ndarray] = []
     band_edges: List[np.ndarray] = []
     band_sw_ids: List[np.ndarray] = []
+    band_ring_scheds: List[Optional[dict]] = []
     band_window_mask = np.zeros(wa.num_windows, dtype=bool)
     xp_rows = c + 1
     band_nnz = 0
@@ -1019,6 +1031,8 @@ def build_plan(
             spill_mask_e = np.zeros(len(column_index), dtype=bool)
 
         sw_pos = np.full(num_sw, -1, dtype=np.int64)
+        ring_impl = (config.band_impl == "ring" and config.impl == "pallas"
+                     and fold == 1 and not any(caps_s))
         for s, bbw in enumerate(band_widths):
             sws = np.where(band_sel & (bucket_sw == s))[0].astype(np.int64)
             # zero-capacity when empty (impls skip the kernel launch);
@@ -1028,10 +1042,28 @@ def build_plan(
             sb = max(len(sws), caps_s[s])
             starts_arr = np.zeros(sb, dtype=np.int32)
             edges = np.zeros((0, 3), dtype=np.int32)
+            ring_sched = None
             if len(sws):
+                if ring_impl:
+                    # fetch-once X ring (kernels/ring_band.py): grid in
+                    # ascending-start order so tile demand is monotone;
+                    # A blocks / sw_ids / edges follow via sw_pos
+                    sws = sws[np.argsort(start[sws], kind="stable")]
                 sw_pos[sws] = np.arange(len(sws))
                 starts_arr[: len(sws)] = start[sws].astype(np.int32)
                 xp_rows = max(xp_rows, int((start[sws] + bbw).max()))
+                if ring_impl:
+                    from hcspmm_tpu.kernels.ring_band import (
+                        build_ring_schedule)
+
+                    _o, pos, ft, fs, fv, fl = build_ring_schedule(
+                        starts_arr[: len(sws)], int(bbw))
+                    assert (_o == np.arange(len(sws))).all()
+                    ring_sched = dict(pos=pos, ftile=ft, fslot=fs,
+                                      fvalid=fv, flate=fl)
+                    # fetches cover whole 128-row tiles
+                    xp_rows = max(xp_rows, -(-int(
+                        (start[sws] + bbw).max()) // 128) * 128)
                 # compact A: (super pos, local row, band-local col) per edge
                 sel_e = (band_sel[sw_of_edge]
                          & (bucket_sw[sw_of_edge] == s) & in_win_e)
@@ -1046,6 +1078,7 @@ def build_plan(
             band_starts.append(starts_arr)
             band_edges.append(edges)
             band_sw_ids.append(sws)
+            band_ring_scheds.append(ring_sched)
         # supers in no bucket (partial cover): the padded SpMM zeroes
         # their blocks (their edges are in the spill population)
         band_missing = np.where(~band_sel)[0].astype(np.int32)
@@ -1288,6 +1321,7 @@ def build_plan(
         band_edges=band_edges,
         band_sw_ids=band_sw_ids,
         band_missing_sw=band_missing,
+        band_ring=band_ring_scheds,
         band_full_cover=band_full_cover if band_widths else False,
         band_fold=fold,
         xp_rows=xp_rows,

@@ -343,6 +343,27 @@ def band_bucket_spmm(starts, a, xp, fold=1):
     )(starts, a, xp)
 
 
+def band_direct_dispatch(arrs, s, xp, num_sw, out_dtype, trash=False,
+                         fold=1):
+    """Direct-write band call for bucket ``s``: the fetch-once X ring
+    kernel when the plan carries a ring schedule (band_impl='ring',
+    kernels/ring_band.py — never built with capacity padding or fold),
+    else the wide deep-pipelined kernel."""
+    if f"band{s}_rpos" in arrs and fold == 1 and not trash:
+        from hcspmm_tpu.kernels.ring_band import band_ring_spmm_direct
+
+        return band_ring_spmm_direct(
+            arrs[f"band{s}_rpos"], arrs[f"band{s}_sw"],
+            arrs[f"band{s}_rft"], arrs[f"band{s}_rfs"],
+            arrs[f"band{s}_rfv"], arrs[f"band{s}_rfl"],
+            arrs[f"band{s}_a"], xp, num_sw, out_dtype,
+        )
+    return band_bucket_spmm_direct(
+        arrs[f"band{s}_sw"], arrs[f"band{s}_start"], arrs[f"band{s}_a"],
+        xp, num_sw, out_dtype, trash=trash, fold=fold,
+    )
+
+
 def _band_kernel_direct(starts_ref, sw_ref, a_hbm, x_hbm, out_ref,
                         aband, band, asems, xsems, *, bb, precision,
                         fold=1):
@@ -878,9 +899,8 @@ def spmm_pallas_padded(arrs, xp, plan, compute_dtype):
         buf = jnp.zeros((num_sw, plan.band_h, dp), xp.dtype)
         return apply_spill(buf.reshape(m, dp), arrs, xp, plan)
     s_main = max(nonempty, key=lambda i: len(plan.band_sw_ids[i]))
-    buf = band_bucket_spmm_direct(
-        arrs[f"band{s_main}_sw"], arrs[f"band{s_main}_start"],
-        arrs[f"band{s_main}_a"], xp, num_sw, xp.dtype,
+    buf = band_direct_dispatch(
+        arrs, s_main, xp, num_sw, xp.dtype,
         trash=(arrs[f"band{s_main}_start"].shape[0]
                > len(plan.band_sw_ids[s_main])),
     )
@@ -1007,10 +1027,7 @@ def spmm_pallas(arrs, x, plan, compute_dtype):
             # direct-write call; capacity-padded dummy supers carry
             # sw_id == num_sw and land in the trailing trash block
             s = nonempty[0]
-            buf = band_bucket_spmm_direct(
-                arrs[f"band{s}_sw"], arrs[f"band{s}_start"],
-                arrs[f"band{s}_a"], xp_band, num_sw, x.dtype,
-            )
+            buf = band_direct_dispatch(arrs, s, xp_band, num_sw, x.dtype)
             return apply_spill(
                 buf.reshape(num_sw * plan.band_h, dp)[:n, :d],
                 arrs, xp[:, :d], plan)
@@ -1027,9 +1044,8 @@ def spmm_pallas(arrs, x, plan, compute_dtype):
             key=lambda s: (arrs[f"band{s}_start"].shape[0] if uniform
                            else len(plan.band_sw_ids[s])),
         )
-        buf = band_bucket_spmm_direct(
-            arrs[f"band{s_main}_sw"], arrs[f"band{s_main}_start"],
-            arrs[f"band{s_main}_a"], xp_band, num_sw, x.dtype,
+        buf = band_direct_dispatch(
+            arrs, s_main, xp_band, num_sw, x.dtype,
             trash=True if uniform else (
                 arrs[f"band{s_main}_start"].shape[0]
                 > len(plan.band_sw_ids[s_main])),
