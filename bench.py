@@ -224,7 +224,14 @@ def main() -> int:
                 "dtype": dtype,
                 "mode": mode,
                 "layout": layout,
-                "band_impl": ("tiled" if getattr(plan, "tiled", False) else "wide"),
+                "band_impl": ("tiled" if getattr(plan, "tiled", False)
+                              else "ring" if any(
+                                  r is not None
+                                  for r in getattr(plan, "band_ring", []))
+                              else "wide"),
+                "spill_impl": ("colstream"
+                               if getattr(plan, "cs_tile", None) is not None
+                               else "take"),
                 "impl": impl,
                 "graph": graph,
                 "reorder": reorder_mode,

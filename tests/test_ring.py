@@ -127,3 +127,31 @@ def test_ring_stress_random_starts():
     zref = spmm_reference_dense(rp, ci, n, np.asarray(x))
     scale = np.abs(zref).max() + 1e-9
     assert np.abs(z - zref).max() / scale < 1e-5
+
+
+def test_ring_two_bucket_ladder():
+    """Multi-bucket ring plan: main bucket direct-writes via the ring,
+    secondary bucket block-scatters (starts sorted consistently)."""
+    rng = np.random.RandomState(11)
+    n = 3072
+    src, dst = [], []
+    for b in range(0, n, 256):
+        wide = 500 if (b // 256) % 3 == 0 else 120  # mixed extents
+        base = max(0, min(b - 60, n - wide - 1))
+        for r in range(b, min(b + 256, n)):
+            for _ in range(3):
+                src.append(r)
+                dst.append(base + int(rng.randint(0, wide)))
+    rp, ci = io.to_csr(np.array(src), np.array(dst), n)
+    op = HybridSpMM(rp, ci, n, PlanConfig(
+        loi_mode="intended", impl="pallas", band_h=256,
+        band_mode="always", band_widths=(128, 512), band_impl="ring"))
+    p = op.plan
+    used = [s for s in range(len(p.band_widths)) if len(p.band_sw_ids[s])]
+    assert len(used) == 2, f"want both buckets used, got {used}"
+    x = rng.randn(n, 48).astype(np.float32)
+    xp = op.pad_input(jnp.asarray(x))
+    z = np.asarray(op.unpad_output(op.apply_padded(op.arrays, xp), 48))
+    zref = spmm_reference_dense(rp, ci, n, np.asarray(x))
+    scale = np.abs(zref).max() + 1e-9
+    assert np.abs(z - zref).max() / scale < 1e-5
