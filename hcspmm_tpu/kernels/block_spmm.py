@@ -638,6 +638,25 @@ def band_tiled_spmm(arrs, xp, plan, out_dtype):
       arrs["tp_late"], arrs["tp_first"], arrs["tp_last"], a, xp)
 
 
+def band_fused_dispatch(arrs, s, xp, wp, num_sw, out_dtype):
+    """Fused direct-write band call for bucket ``s`` (full-cover single
+    bucket, no capacity padding): ring twin when the plan carries a ring
+    schedule, else the wide fused kernel."""
+    if f"band{s}_rpos" in arrs:
+        from hcspmm_tpu.kernels.ring_band import band_ring_fused_direct
+
+        return band_ring_fused_direct(
+            arrs[f"band{s}_rpos"], arrs[f"band{s}_sw"],
+            arrs[f"band{s}_rft"], arrs[f"band{s}_rfs"],
+            arrs[f"band{s}_rfv"], arrs[f"band{s}_rfl"],
+            arrs[f"band{s}_a"], xp, wp, num_sw, out_dtype,
+        )
+    return band_fused_spmm_direct(
+        arrs[f"band{s}_sw"], arrs[f"band{s}_start"], arrs[f"band{s}_a"],
+        xp, wp, num_sw, out_dtype,
+    )
+
+
 def _band_kernel_fused(starts_ref, sw_ref, a_hbm, x_hbm, w_ref,
                        agg_ref, out_ref, aband, band, asems, xsems, *,
                        bb, precision):
@@ -726,10 +745,7 @@ def spmm_fused_pallas(arrs, x, w, plan, compute_dtype):
     wp = w.astype(compute_dtype)
     if dp != d:
         wp = jnp.pad(wp, ((0, dp - d), (0, 0)))
-    agg, out = band_fused_spmm_direct(
-        arrs[f"band{s}_sw"], arrs[f"band{s}_start"], arrs[f"band{s}_a"],
-        xp, wp, num_sw, x.dtype,
-    )
+    agg, out = band_fused_dispatch(arrs, s, xp, wp, num_sw, x.dtype)
     h = w.shape[1]
     out_r = out.reshape(out.shape[0] * plan.band_h, h)[:n]
     agg_r = agg.reshape(agg.shape[0] * plan.band_h, dp)[:n, :d]
@@ -936,10 +952,7 @@ def spmm_fused_pallas_padded(arrs, xp, wp, plan):
     if len(nonempty) != 1 or len(plan.band_sw_ids[nonempty[0]]) != num_sw:
         return None
     s = nonempty[0]
-    agg, out = band_fused_spmm_direct(
-        arrs[f"band{s}_sw"], arrs[f"band{s}_start"], arrs[f"band{s}_a"],
-        xp, wp, num_sw, xp.dtype,
-    )
+    agg, out = band_fused_dispatch(arrs, s, xp, wp, num_sw, xp.dtype)
     m = num_sw * plan.band_h
     out_r = out[:num_sw].reshape(m, wp.shape[1])
     agg_r = agg[:num_sw].reshape(m, xp.shape[1])

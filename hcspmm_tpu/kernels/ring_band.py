@@ -112,9 +112,11 @@ def build_ring_schedule(starts: np.ndarray, w: int,
     return order, pos, ftile, fslot, fvalid, flate
 
 
-def _ring_kernel(pos_ref, sw_ref, ft_ref, fs_ref, fv_ref, fl_ref,
-                 a_hbm, x_hbm, out_ref, aring, ring, asems, xsems, *,
-                 w, f_max, precision):
+def _ring_body(pos_ref, ft_ref, fs_ref, fv_ref, fl_ref,
+               a_hbm, x_hbm, aring, ring, asems, xsems, *,
+               w, f_max, precision):
+    """Shared ring step: run the fetch schedule for this grid step and
+    return ``A_i @ band_i`` (fp32)."""
     i = pl.program_id(0)
     s = pl.num_programs(0)
     L = aring.shape[0]
@@ -162,8 +164,31 @@ def _ring_kernel(pos_ref, sw_ref, ft_ref, fs_ref, fv_ref, fl_ref,
             x_dma(i, k).wait()
 
     band = ring[pl.ds(pl.multiple_of(pos_ref[i], 16), w), :]
-    out_ref[0] = jnp.dot(
+    return jnp.dot(
         aring[i % L].astype(band.dtype), band,
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+
+
+def _ring_kernel(pos_ref, sw_ref, ft_ref, fs_ref, fv_ref, fl_ref,
+                 a_hbm, x_hbm, out_ref, aring, ring, asems, xsems, *,
+                 w, f_max, precision):
+    out_ref[0] = _ring_body(
+        pos_ref, ft_ref, fs_ref, fv_ref, fl_ref, a_hbm, x_hbm,
+        aring, ring, asems, xsems, w=w, f_max=f_max, precision=precision,
+    ).astype(out_ref.dtype)
+
+
+def _ring_kernel_fused(pos_ref, sw_ref, ft_ref, fs_ref, fv_ref, fl_ref,
+                       a_hbm, x_hbm, w_ref, agg_ref, out_ref, aring, ring,
+                       asems, xsems, *, w, f_max, precision):
+    agg = _ring_body(
+        pos_ref, ft_ref, fs_ref, fv_ref, fl_ref, a_hbm, x_hbm,
+        aring, ring, asems, xsems, w=w, f_max=f_max, precision=precision,
+    )
+    agg_ref[0] = agg.astype(agg_ref.dtype)
+    out_ref[0] = jnp.dot(
+        agg.astype(w_ref.dtype), w_ref[:],
         preferred_element_type=jnp.float32, precision=precision,
     ).astype(out_ref.dtype)
 
@@ -215,3 +240,54 @@ def band_ring_spmm_direct(pos, sw_ids, ftile, fslot, fvalid, flate,
         out_shape=jax.ShapeDtypeStruct((num_sw, bh, d), out_dtype),
         interpret=_interpret(),
     )(pos, sw_ids, ftile, fslot, fvalid, flate, a, xp)
+
+
+def band_ring_fused_direct(pos, sw_ids, ftile, fslot, fvalid, flate,
+                           a, xp, wm, num_sw, out_dtype, *,
+                           ring_tiles: int = RING_TILES):
+    """Ring twin of ``band_bucket_spmm_direct``'s fused form: one kernel
+    computes ``agg = A_band @ band`` (X from the fetch-once ring) and
+    ``out = agg @ W`` with the aggregate still in registers/VMEM.
+    Returns (agg, out) like kernels.block_spmm.band_fused_spmm_direct."""
+    sb, bh, w = a.shape
+    _, d = xp.shape
+    h = wm.shape[1]
+    assert sb == pos.shape[0] == sw_ids.shape[0] == num_sw
+    f_max = ftile.shape[1]
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if xp.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    L = _BAND_LOOKAHEAD
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(sb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # W resident
+        ],
+        out_specs=(
+            pl.BlockSpec((1, bh, d), lambda i, p_, s_, *f: (s_[i], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bh, h), lambda i, p_, s_, *f: (s_[i], 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((L, bh, w), a.dtype),
+            pltpu.VMEM((ring_tiles * 128, d), xp.dtype),
+            pltpu.SemaphoreType.DMA((L,)),
+            pltpu.SemaphoreType.DMA((ring_tiles,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_ring_kernel_fused, w=w, f_max=f_max,
+                          precision=precision),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((num_sw, bh, d), out_dtype),
+            jax.ShapeDtypeStruct((num_sw, bh, h), out_dtype),
+        ),
+        interpret=_interpret(),
+    )(pos, sw_ids, ftile, fslot, fvalid, flate, a, xp, wm)

@@ -155,3 +155,28 @@ def test_ring_two_bucket_ladder():
     zref = spmm_reference_dense(rp, ci, n, np.asarray(x))
     scale = np.abs(zref).max() + 1e-9
     assert np.abs(z - zref).max() / scale < 1e-5
+
+
+def test_ring_fused_training_matches_wide():
+    """GCN fused padded layer (gcn_apply_padded) routes through the ring
+    fused kernel and matches the wide op bit-for-bit-ish."""
+    src, dst, n = io.synthetic_blocks(2048, 4.0, block_size=96, seed=5,
+                                      shuffle=False)
+    rng = np.random.RandomState(0)
+    kw = dict(band_widths=(256,))
+    op_w, rp, ci = _band_plan(n, src, dst, dict(band_impl="wide", **kw))
+    op_r, _, _ = _band_plan(n, src, dst, dict(band_impl="ring", **kw))
+    assert op_r.plan.band_full_cover
+    x = rng.randn(n, 32).astype(np.float32)
+    w = rng.randn(32, 16).astype(np.float32)
+    outs = []
+    for op in (op_w, op_r):
+        xp = op.pad_input(jnp.asarray(x))
+        wp = jnp.pad(jnp.asarray(w), ((0, xp.shape[1] - 32), (0, 112)))
+        out = op.gcn_apply_padded(op.arrays, xp, wp)
+        gagg = jax.grad(lambda v: (op.gcn_apply_padded(
+            op.arrays, v, wp) ** 2).sum())(xp)
+        outs.append((np.asarray(out), np.asarray(gagg)))
+    for a, b in zip(outs[0], outs[1]):
+        scale = np.abs(a).max() + 1e-9
+        assert np.abs(a - b).max() / scale < 1e-6
