@@ -337,10 +337,7 @@ class ExecutionPlan:
             if s < len(self.band_ring) and self.band_ring[s] is not None:
                 rs = self.band_ring[s]
                 d[f"band{s}_rpos"] = rs["pos"]
-                d[f"band{s}_rft"] = rs["ftile"]
-                d[f"band{s}_rfs"] = rs["fslot"]
-                d[f"band{s}_rfv"] = rs["fvalid"]
-                d[f"band{s}_rfl"] = rs["flate"]
+                d[f"band{s}_rsched"] = rs["sched"]
         return d
 
 
@@ -1054,13 +1051,17 @@ def build_plan(
                 xp_rows = max(xp_rows, int((start[sws] + bbw).max()))
                 if ring_impl:
                     from hcspmm_tpu.kernels.ring_band import (
-                        build_ring_schedule)
+                        build_ring_schedule, pack_ring_schedule)
 
                     _o, pos, ft, fs, fv, fl = build_ring_schedule(
                         starts_arr[: len(sws)], int(bbw))
                     assert (_o == np.arange(len(sws))).all()
-                    ring_sched = dict(pos=pos, ftile=ft, fslot=fs,
-                                      fvalid=fv, flate=fl)
+                    # flat packed table: 2-D scalar-prefetch operands are
+                    # lane-padded to 128 words in smem (1 MB) and overflow
+                    # it beyond ~500 supers
+                    ring_sched = dict(pos=pos,
+                                      sched=pack_ring_schedule(ft, fs,
+                                                               fv, fl))
                     # fetches cover whole 128-row tiles
                     xp_rows = max(xp_rows, -(-int(
                         (start[sws] + bbw).max()) // 128) * 128)

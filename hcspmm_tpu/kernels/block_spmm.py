@@ -354,8 +354,7 @@ def band_direct_dispatch(arrs, s, xp, num_sw, out_dtype, trash=False,
 
         return band_ring_spmm_direct(
             arrs[f"band{s}_rpos"], arrs[f"band{s}_sw"],
-            arrs[f"band{s}_rft"], arrs[f"band{s}_rfs"],
-            arrs[f"band{s}_rfv"], arrs[f"band{s}_rfl"],
+            arrs[f"band{s}_rsched"],
             arrs[f"band{s}_a"], xp, num_sw, out_dtype,
         )
     return band_bucket_spmm_direct(
@@ -647,8 +646,7 @@ def band_fused_dispatch(arrs, s, xp, wp, num_sw, out_dtype):
 
         return band_ring_fused_direct(
             arrs[f"band{s}_rpos"], arrs[f"band{s}_sw"],
-            arrs[f"band{s}_rft"], arrs[f"band{s}_rfs"],
-            arrs[f"band{s}_rfv"], arrs[f"band{s}_rfl"],
+            arrs[f"band{s}_rsched"],
             arrs[f"band{s}_a"], xp, wp, num_sw, out_dtype,
         )
     return band_fused_spmm_direct(

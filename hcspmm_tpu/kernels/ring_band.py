@@ -48,6 +48,21 @@ from hcspmm_tpu.kernels.block_spmm import _interpret, _BAND_LOOKAHEAD
 RING_TILES = 32  # S: ring capacity in 128-row X tiles (VMEM: S*128*dp*xbytes)
 
 
+def pack_ring_schedule(ftile, fslot, fvalid, flate) -> np.ndarray:
+    """Pack the four [Sb, F] schedule tables into ONE flat int32 array.
+
+    Mosaic lane-pads every 2-D scalar-prefetch operand's minor dim to 128
+    (a [Sb, 5] i32 table costs Sb*512 B of the 1 MB smem), so four tables
+    overflow smem at ~500 supers.  Packed encoding per (step, k):
+    ``tile << 7 | slot << 2 | late << 1 | valid`` — slot < 32 (RING_TILES),
+    tile < 2**25 (plenty: 2**25 tiles = 4.3e9 X rows).
+    """
+    assert int(fslot.max(initial=0)) < 32 and int(ftile.max(initial=0)) < 2 ** 25
+    packed = (ftile.astype(np.int64) << 7) | (fslot.astype(np.int64) << 2) \
+        | (flate.astype(np.int64) << 1) | fvalid.astype(np.int64)
+    return packed.astype(np.int32).reshape(-1)
+
+
 def build_ring_schedule(starts: np.ndarray, w: int,
                         slots: int = RING_TILES,
                         lookahead: int = _BAND_LOOKAHEAD - 1,
@@ -112,11 +127,12 @@ def build_ring_schedule(starts: np.ndarray, w: int,
     return order, pos, ftile, fslot, fvalid, flate
 
 
-def _ring_body(pos_ref, ft_ref, fs_ref, fv_ref, fl_ref,
-               a_hbm, x_hbm, aring, ring, asems, xsems, *,
-               w, f_max, precision):
+def _ring_body(pos_ref, sched_ref, a_hbm, x_hbm, aring, ring, asems,
+               xsems, *, w, f_max, precision):
     """Shared ring step: run the fetch schedule for this grid step and
-    return ``A_i @ band_i`` (fp32)."""
+    return ``A_i @ band_i`` (fp32).  ``sched_ref`` is the flat packed
+    schedule from ``pack_ring_schedule`` (1-D: 2-D scalar-prefetch
+    operands are lane-padded to 128 words in smem and overflow it)."""
     i = pl.program_id(0)
     s = pl.num_programs(0)
     L = aring.shape[0]
@@ -126,19 +142,19 @@ def _ring_body(pos_ref, ft_ref, fs_ref, fv_ref, fl_ref,
         return pltpu.make_async_copy(a_hbm.at[j], aring.at[slot],
                                      asems.at[slot])
 
-    def x_dma(j, k):
-        slot = fs_ref[j, k]
+    def x_dma(tile, slot):
         return pltpu.make_async_copy(
-            x_hbm.at[pl.ds(pl.multiple_of(ft_ref[j, k] * 128, 128), 128), :],
+            x_hbm.at[pl.ds(pl.multiple_of(tile * 128, 128), 128), :],
             ring.at[pl.ds(pl.multiple_of(slot * 128, 128), 128), :],
             xsems.at[slot],
         )
 
     def start_fetches(j, late_val):
         for k in range(f_max):
-            @pl.when((fv_ref[j, k] == 1) & (fl_ref[j, k] == late_val))
+            v = sched_ref[j * f_max + k]
+            @pl.when(((v & 1) == 1) & (((v >> 1) & 1) == late_val))
             def _():
-                x_dma(j, k).start()
+                x_dma(v >> 7, (v >> 2) & 31).start()
 
     @pl.when(i == 0)
     def _():
@@ -159,9 +175,10 @@ def _ring_body(pos_ref, ft_ref, fs_ref, fv_ref, fl_ref,
 
     a_dma(i, i % L).wait()
     for k in range(f_max):
-        @pl.when(fv_ref[i, k] == 1)
+        v = sched_ref[i * f_max + k]
+        @pl.when((v & 1) == 1)
         def _():
-            x_dma(i, k).wait()
+            x_dma(v >> 7, (v >> 2) & 31).wait()
 
     band = ring[pl.ds(pl.multiple_of(pos_ref[i], 16), w), :]
     return jnp.dot(
@@ -170,20 +187,20 @@ def _ring_body(pos_ref, ft_ref, fs_ref, fv_ref, fl_ref,
     )
 
 
-def _ring_kernel(pos_ref, sw_ref, ft_ref, fs_ref, fv_ref, fl_ref,
+def _ring_kernel(pos_ref, sw_ref, sched_ref,
                  a_hbm, x_hbm, out_ref, aring, ring, asems, xsems, *,
                  w, f_max, precision):
     out_ref[0] = _ring_body(
-        pos_ref, ft_ref, fs_ref, fv_ref, fl_ref, a_hbm, x_hbm,
+        pos_ref, sched_ref, a_hbm, x_hbm,
         aring, ring, asems, xsems, w=w, f_max=f_max, precision=precision,
     ).astype(out_ref.dtype)
 
 
-def _ring_kernel_fused(pos_ref, sw_ref, ft_ref, fs_ref, fv_ref, fl_ref,
+def _ring_kernel_fused(pos_ref, sw_ref, sched_ref,
                        a_hbm, x_hbm, w_ref, agg_ref, out_ref, aring, ring,
                        asems, xsems, *, w, f_max, precision):
     agg = _ring_body(
-        pos_ref, ft_ref, fs_ref, fv_ref, fl_ref, a_hbm, x_hbm,
+        pos_ref, sched_ref, a_hbm, x_hbm,
         aring, ring, asems, xsems, w=w, f_max=f_max, precision=precision,
     )
     agg_ref[0] = agg.astype(agg_ref.dtype)
@@ -193,23 +210,23 @@ def _ring_kernel_fused(pos_ref, sw_ref, ft_ref, fs_ref, fv_ref, fl_ref,
     ).astype(out_ref.dtype)
 
 
-def band_ring_spmm_direct(pos, sw_ids, ftile, fslot, fvalid, flate,
+def band_ring_spmm_direct(pos, sw_ids, sched,
                           a, xp, num_sw, out_dtype, *,
                           ring_tiles: int = RING_TILES):
     """Direct-write band SpMM with the fetch-once X ring.
 
     Inputs are in SORTED grid order (build_ring_schedule's ``order``
     applied to the bucket's A blocks and sw_ids by the plan builder).
-    pos: int32 [Sb] ring row offsets; ftile/fslot/fvalid/flate:
-    int32 [Sb, F]; a: int8 [Sb, bh, W]; xp: [M, dp] with M % 128 == 0
-    covering every fetched tile.  Returns [num_sw, bh, dp] like
-    band_bucket_spmm_direct (blocks not owned by this bucket are
+    pos: int32 [Sb] ring row offsets; sched: flat packed int32 [Sb * F]
+    (pack_ring_schedule); a: int8 [Sb, bh, W]; xp: [M, dp] with
+    M % 128 == 0 covering every fetched tile.  Returns [num_sw, bh, dp]
+    like band_bucket_spmm_direct (blocks not owned by this bucket are
     uninitialized garbage the caller overwrites/zeroes).
     """
     sb, bh, w = a.shape
     _, d = xp.shape
     assert sb == pos.shape[0] == sw_ids.shape[0]
-    f_max = ftile.shape[1]
+    f_max = sched.shape[0] // sb
     precision = (
         jax.lax.Precision.HIGHEST
         if xp.dtype == jnp.float32
@@ -217,14 +234,14 @@ def band_ring_spmm_direct(pos, sw_ids, ftile, fslot, fvalid, flate,
     )
     L = _BAND_LOOKAHEAD
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=3,
         grid=(sb,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, bh, d),
-                               lambda i, p_, s_, *f: (s_[i], 0, 0),
+                               lambda i, p_, s_, sc_: (s_[i], 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((L, bh, w), a.dtype),
@@ -239,10 +256,10 @@ def band_ring_spmm_direct(pos, sw_ids, ftile, fslot, fvalid, flate,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_sw, bh, d), out_dtype),
         interpret=_interpret(),
-    )(pos, sw_ids, ftile, fslot, fvalid, flate, a, xp)
+    )(pos, sw_ids, sched, a, xp)
 
 
-def band_ring_fused_direct(pos, sw_ids, ftile, fslot, fvalid, flate,
+def band_ring_fused_direct(pos, sw_ids, sched,
                            a, xp, wm, num_sw, out_dtype, *,
                            ring_tiles: int = RING_TILES):
     """Ring twin of ``band_bucket_spmm_direct``'s fused form: one kernel
@@ -253,7 +270,7 @@ def band_ring_fused_direct(pos, sw_ids, ftile, fslot, fvalid, flate,
     _, d = xp.shape
     h = wm.shape[1]
     assert sb == pos.shape[0] == sw_ids.shape[0] == num_sw
-    f_max = ftile.shape[1]
+    f_max = sched.shape[0] // sb
     precision = (
         jax.lax.Precision.HIGHEST
         if xp.dtype == jnp.float32
@@ -261,7 +278,7 @@ def band_ring_fused_direct(pos, sw_ids, ftile, fslot, fvalid, flate,
     )
     L = _BAND_LOOKAHEAD
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=3,
         grid=(sb,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -269,9 +286,9 @@ def band_ring_fused_direct(pos, sw_ids, ftile, fslot, fvalid, flate,
             pl.BlockSpec(memory_space=pltpu.VMEM),   # W resident
         ],
         out_specs=(
-            pl.BlockSpec((1, bh, d), lambda i, p_, s_, *f: (s_[i], 0, 0),
+            pl.BlockSpec((1, bh, d), lambda i, p_, s_, sc_: (s_[i], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bh, h), lambda i, p_, s_, *f: (s_[i], 0, 0),
+            pl.BlockSpec((1, bh, h), lambda i, p_, s_, sc_: (s_[i], 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
@@ -290,4 +307,4 @@ def band_ring_fused_direct(pos, sw_ids, ftile, fslot, fvalid, flate,
             jax.ShapeDtypeStruct((num_sw, bh, h), out_dtype),
         ),
         interpret=_interpret(),
-    )(pos, sw_ids, ftile, fslot, fvalid, flate, a, xp, wm)
+    )(pos, sw_ids, sched, a, xp, wm)
