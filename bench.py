@@ -125,8 +125,8 @@ def main() -> int:
     if band_fold > 1:
         extra["band_fold"] = band_fold
         band = "always"  # folded plans need full band coverage (format.plan)
-    spill_impl = os.environ.get("HCSPMM_BENCH_SPILL", "take")
-    if spill_impl != "take":
+    spill_impl = os.environ.get("HCSPMM_BENCH_SPILL", "")
+    if spill_impl:  # default: PlanConfig's (dstream)
         extra["spill_impl"] = spill_impl
     cfg = PlanConfig(loi_mode=mode, compute_dtype=dtype, impl=impl,
                      band_mode=band, band_impl=band_impl, **extra)
@@ -229,7 +229,9 @@ def main() -> int:
                                   r is not None
                                   for r in getattr(plan, "band_ring", []))
                               else "wide"),
-                "spill_impl": ("colstream"
+                "spill_impl": ("dstream"
+                               if getattr(plan, "ds_blk", None) is not None
+                               else "colstream"
                                if getattr(plan, "cs_tile", None) is not None
                                else "take"),
                 "impl": impl,

@@ -137,10 +137,19 @@ class PlanConfig:
     # Spill gather implementation: 'take' = XLA row gather + sorted
     # segment-sum (production round 1); 'colstream' = column-streamed MXU
     # one-hot gather (kernels/colstream.py) + scatter-add merge —
-    # sequential 32 KB tile DMAs instead of random row fetches.  Square
-    # pallas plans only (shard plans and the folded narrow-dim layout
-    # keep 'take'); tools/ab_spill.py decides the default from hardware.
-    spill_impl: str = "take"
+    # sequential 32 KB tile DMAs instead of random row fetches;
+    # 'dstream' (round-2 default) = XLA take gather + dst-streamed Pallas
+    # one-hot merge aliased into the padded output (kernels/dstream.py).
+    # Hardware decided (artifacts/round2_hw.jsonl): the XLA MERGE, not
+    # the gather, was the spill wall (segsum 7.5 + scatter 13.7 ns/row vs
+    # take 3.9); dstream cut powerlaw DD-scale SpMM 19.2 -> 6.9 ms.
+    # Pallas band plans only (shard/caps plans and sliced-output call
+    # sites fall back to 'take', which is always built alongside).
+    spill_impl: str = "dstream"
+    # Minimum spill edges per touched 128-row destination tile for the
+    # dstream merge to beat take's per-edge cost (the merge pays ~128 KB
+    # of destination-block traffic per touched tile).
+    dstream_min_edges_per_tile: int = 16
     # Target edge-coverage quantile when resolving band widths from the
     # per-superwindow *robust* extent (minimal window covering this
     # fraction of the super's edges) instead of the full extent.

@@ -142,6 +142,16 @@ class ExecutionPlan:
     cs_tile: Optional[np.ndarray] = None   # int32 [C] 128-aligned X bases
     cs_cols: Optional[np.ndarray] = None   # int32 [C, 128], pad 128
     cs_rows: Optional[np.ndarray] = None   # int32 [C*128], pad INT32_MAX
+    # dst-streamed spill merge (config.spill_impl='dstream',
+    # kernels/dstream.py): dst-sorted chunks, Pallas one-hot segment
+    # merge aliased into the padded output.  Pallas plans only; the take
+    # arrays stay as fallback for sliced-output call sites.
+    ds_gcols: Optional[np.ndarray] = None  # int32 [C*128] take indices
+    ds_local: Optional[np.ndarray] = None  # int32 [C, 128], pad 128
+    ds_blk: Optional[np.ndarray] = None    # int32 [C/G] dst block per step
+    ds_lt: Optional[np.ndarray] = None     # int32 [C] tile within block
+    ds_group: int = 0                      # G (0 = population absent)
+    ds_rows: int = 0                       # padded row space the blocks index
 
     # ---- banded (MXU block-band) path: one entry per band-width bucket ----
     band_h: int = 16                          # superwindow height (rows)
@@ -291,6 +301,11 @@ class ExecutionPlan:
                 d["cs_tile"] = self.cs_tile
                 d["cs_cols"] = self.cs_cols
                 d["cs_rows"] = self.cs_rows
+            if self.ds_blk is not None:
+                d["ds_gcols"] = self.ds_gcols
+                d["ds_local"] = self.ds_local
+                d["ds_blk"] = self.ds_blk
+                d["ds_lt"] = self.ds_lt
         for b in range(len(self.bucket_widths)):
             d[f"b{b}_cols"] = self.bucket_cols[b]
             d[f"b{b}_a"] = self.bucket_a[b]
@@ -325,7 +340,22 @@ class ExecutionPlan:
         for s in range(len(self.band_widths)):
             d[f"band{s}_start"] = self.band_starts[s]
             if dense_band and not self.tiled:
-                d[f"band{s}_a"] = self.band_a_dense(s)
+                a = self.band_a_dense(s)
+                if self.band_fold > 1 and a.size:
+                    # folded-layout A permutation (kernels/block_spmm
+                    # _band_body_deep fold>1): rows fold*j'+ko ->
+                    # ko*(bh/f)+j', cols fold*j+ki -> ki*(W/f)+j, so the
+                    # kernel's unfold/refold become static lane/sublane
+                    # slices + concats (Mosaic rejects the sublane<->lane
+                    # reshape the natural layout would need)
+                    sb, bh, w = a.shape
+                    f = self.band_fold
+                    a = (a.reshape(sb, bh // f, f, w)
+                          .transpose(0, 2, 1, 3)
+                          .reshape(sb, bh, w // f, f)
+                          .transpose(0, 1, 3, 2)
+                          .reshape(sb, bh, w))
+                d[f"band{s}_a"] = a
             # pad to capacity for uniform shard stacking / grouped grid
             # steps; padded entries point at the direct-write buffer's
             # trash block (index num_superwindows, see kernels.block_spmm)
@@ -1128,6 +1158,29 @@ def build_plan(
                                     cs_rows=cs_r)
                 # X must cover whole 128-row tiles up to the last column
                 xp_rows = max(xp_rows, -(-c // 128) * 128)
+            # dstream pays ~2x64 KB of destination-block R/W per touched
+            # 128-row tile; with few edges per touched tile the take
+            # path's per-edge cost is cheaper (measured: DD's 1865
+            # scattered spill edges cost +107 us under dstream while
+            # powerlaw's 440 edges/tile run 2.8x faster)
+            ds_dense_enough = spill_nnz and (
+                spill_nnz >= config.dstream_min_edges_per_tile
+                * len(np.unique(sp_rows_e >> 7)))
+            if (config.spill_impl == "dstream" and ds_dense_enough
+                    and config.impl == "pallas" and band_widths
+                    and not (caps.num_spill_rows or caps.num_spill_edges)):
+                # dst-streamed Pallas merge layout (kernels/dstream.py);
+                # shard-uniform (caps) plans keep 'take' (chunk counts
+                # are not shard-uniform).  Edges are CSR order = dst-
+                # sorted already.
+                from hcspmm_tpu.kernels.dstream import build_dstream
+
+                mp = num_sw * bh
+                ds_g, ds_l, ds_b, ds_t, ds_grp = build_dstream(
+                    sp_rows_e, sp_cols_e, mp, pad_col=c)
+                spill_fields.update(
+                    ds_gcols=ds_g, ds_local=ds_l, ds_blk=ds_b, ds_lt=ds_t,
+                    ds_group=ds_grp, ds_rows=mp)
 
     # -------------------- tiled band pair stream --------------------
     tiled_fields = {}

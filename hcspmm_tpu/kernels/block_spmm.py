@@ -274,14 +274,40 @@ def _band_body_deep(starts_ref, a_hbm, x_hbm, aband, band, asems, xsems,
             preferred_element_type=jnp.float32,
             precision=precision,
         )
-    af = aband[i % L].astype(band.dtype)            # [bh, W]
-    bh = af.shape[0]
+    # Folded branch.  A arrives HOST-PERMUTED (format.plan arrays():
+    # rows fold*j'+ko -> ko*bhf+j', cols fold*j+ki -> ki*Wf+j).  The
+    # natural single-dot formulation needs (Wf,128)->(W,dsub) /
+    # (bh,dsub)->(bhf,128) vector reshapes, which Mosaic rejects
+    # ("unsupported shape cast"); lane-sliced concats are also rejected
+    # ("offset mismatch on non-concat dimension").  The Mosaic-legal
+    # form (validated on v5e) contracts per folded-column slab: fold
+    # dots A[:, ki*Wf:+Wf] @ xf[:, ki*dsub:+dsub] accumulated in fp32 —
+    # the relayout of the sliced operands is handled inside the dots.
+    # Returns acc [bh, dsub] in ko-major row order; callers store it
+    # with _fold_store (per-ko lane-sliced stores).
+    af = aband[i % L].astype(band.dtype)            # [bh, W] permuted
     d = band.shape[-1]
-    xu = band[i % L].reshape(bb * fold, d // fold)  # [W, dsub]
-    acc = jnp.dot(af, xu, preferred_element_type=jnp.float32,
-                  precision=precision)              # [bh, dsub]
-    # rows -> lanes: out_f[j', k*dsub+f] = acc[fold*j'+k, f]
-    return acc.reshape(bh // fold, d)
+    dsub = d // fold
+    xf = band[i % L]                                # [Wf, d] folded
+    acc = jnp.zeros((af.shape[0], dsub), jnp.float32)
+    for ki in range(fold):
+        acc += jax.lax.dot(
+            af[:, ki * bb:(ki + 1) * bb],
+            xf[:, ki * dsub:(ki + 1) * dsub],
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+    return acc
+
+
+def _fold_store(out_view, acc, fold):
+    """Store the folded body's [bh, dsub] ko-major accumulator into a
+    [bh/fold, d] output view: out[j', ko*dsub+f] = acc[ko*bhf+j', f]."""
+    bhf = acc.shape[0] // fold
+    dsub = acc.shape[1]
+    for ko in range(fold):
+        out_view[:, ko * dsub:(ko + 1) * dsub] = (
+            acc[ko * bhf:(ko + 1) * bhf, :].astype(out_view.dtype))
 
 
 def _band_scratch(a, xp, d, fold=1):
@@ -793,6 +819,13 @@ def apply_spill(out, arrs, xsrc, plan):
     other call sites slice to the model dim first and keep the take path."""
     if not _has_spill(arrs, plan):
         return out
+    if ("ds_blk" in arrs and out.shape[0] == getattr(plan, "ds_rows", -1)
+            and out.shape[1] == xsrc.shape[1]):
+        # dst-streamed Pallas merge (kernels/dstream.py): full padded row
+        # space only — sliced call sites fall through to the take path
+        from hcspmm_tpu.kernels.dstream import dstream_spill
+
+        return dstream_spill(arrs, xsrc, out, plan)
     if "cs_tile" in arrs and xsrc.shape[1] % 128 == 0:
         from hcspmm_tpu.kernels.colstream import colstream_spill
 

@@ -49,10 +49,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "must be <= 128/fold; requires --impl pallas)")
     p.add_argument("--compute-dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])
-    p.add_argument("--spill-impl", type=str, default="take",
-                   choices=["take", "colstream"],
-                   help="spill gather: XLA row take vs the column-streamed "
-                        "MXU kernel (kernels/colstream.py; pallas only)")
+    p.add_argument("--spill-impl", type=str, default="dstream",
+                   choices=["take", "colstream", "dstream"],
+                   help="spill formulation: XLA take+segsum+scatter, the "
+                        "column-streamed MXU gather (kernels/colstream.py), "
+                        "or take + dst-streamed Pallas merge "
+                        "(kernels/dstream.py, default; pallas only)")
     p.add_argument("--bucket-widths", type=str, default="32,64,96,128,192,256",
                    help="comma-separated dense window width buckets")
     p.add_argument("--reorder", type=str, default="none",
@@ -128,7 +130,7 @@ def main(argv=None) -> int:
         compute_dtype=getattr(args, "compute_dtype"),
         impl=args.impl,
         band_fold=fold,
-        spill_impl=getattr(args, "spill_impl", "take"),
+        spill_impl=getattr(args, "spill_impl", "dstream"),
         # folded plans need full band coverage (format.plan validation)
         **({"band_mode": "always"} if fold > 1 else {}),
     )

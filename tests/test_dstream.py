@@ -1,0 +1,155 @@
+"""Oracle tests for the dst-streamed Pallas spill merge
+(kernels/dstream.py) in interpret mode."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hcspmm_tpu.kernels import dstream as ds
+
+
+def _sorted_edges(rng, e, n_rows, n_cols):
+    rows = np.sort(rng.randint(0, n_rows, size=e))
+    cols = rng.randint(0, n_cols, size=e)
+    return rows, cols
+
+
+def test_build_dstream_layout():
+    rng = np.random.RandomState(0)
+    mp = 4096
+    rows, cols = _sorted_edges(rng, 1000, mp, 2048)
+    gcols, local, blk, lt, g = ds.build_dstream(rows, cols, mp, pad_col=2048)
+    c = gcols.shape[0] // 128
+    s = c // g
+    assert c % g == 0 and lt.shape == (c,)
+    assert blk.shape == (s,)
+    assert local.shape == (-(-s // 8) * 8, g * 128)
+    local = local.ravel()[: c * 128].reshape(c, 128)
+    # steps' blocks are nondecreasing (consecutive revisits)
+    assert (np.diff(blk) >= 0).all()
+    valid = local.ravel() < 128
+    # global dst per valid slot: block/tile/local recompose to the edge row
+    chunk_of_slot = np.repeat(np.arange(c), 128)
+    step_of_slot = chunk_of_slot // g
+    gdst = (blk[step_of_slot] * g + lt[chunk_of_slot]) * 128 + local.ravel()
+    assert (np.sort(gdst[valid]) == rows).all()
+    # valid slots' gather cols multiset == input cols (order: dst-sorted)
+    assert sorted(gcols[valid]) == sorted(cols)
+    # padding slots carry the pad col and sentinel local
+    assert (gcols[~valid] == 2048).all()
+    # no chunk straddles a 128-row dst tile
+    for ci_ in range(c):
+        m_ = local[ci_] < 128
+        if m_.any():
+            t = gdst.reshape(c, 128)[ci_][m_] // 128
+            assert (t == t[0]).all()
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+@pytest.mark.parametrize("e", [3, 700, 5000])
+def test_dstream_merge_oracle(dtype, e):
+    rng = np.random.RandomState(1)
+    mp, nc, dp = 2048, 1500, 128
+    rows, cols = _sorted_edges(rng, e, mp, nc)
+    # hub dsts (many edges onto few rows) exercise multi-chunk tiles
+    rows[: e // 3] = np.sort(rng.randint(0, 64, size=e // 3))
+    rows = np.sort(rows)
+    gcols, local, blk, lt, g = ds.build_dstream(rows, cols, mp, pad_col=nc)
+    x = rng.randn(nc + 1, dp).astype(np.float32)
+    x[nc] = 0.0
+    out0 = rng.randn(mp, dp).astype(np.float32)
+    xj = jnp.asarray(x).astype(dtype)
+    oj = jnp.asarray(out0).astype(dtype)
+    got = np.asarray(ds.dstream_merge(
+        jnp.asarray(gcols), jnp.asarray(local), jnp.asarray(blk),
+        jnp.asarray(lt), xj, oj, group=g)).astype(np.float32)
+    ref = np.asarray(oj, np.float32).copy()
+    np.add.at(ref, rows, np.asarray(xj, np.float32)[cols])
+    tol = 1e-5 if dtype == jnp.float32 else 3e-2
+    scale = np.abs(ref).max() + 1e-9
+    assert np.abs(got - ref).max() / scale < tol
+    # untouched blocks keep out0 bit-exactly (alias semantics)
+    touched = np.zeros(mp // (g * 128), dtype=bool)
+    touched[rows // (g * 128)] = True
+    untouched_rows = ~np.repeat(touched, g * 128)
+    assert (got[untouched_rows] == np.asarray(oj, np.float32)[untouched_rows]
+            ).all()
+
+
+def test_pick_group():
+    assert ds.pick_group(8 * 1024) == 8
+    assert ds.pick_group(334928 // 256 * 256 + 256) in (1, 2, 4, 8)
+    assert ds.pick_group(256) == 2
+    assert ds.pick_group(1024) == 8
+
+
+def test_empty_spill():
+    gcols, local, blk, lt, g = ds.build_dstream(
+        np.zeros(0, np.int64), np.zeros(0, np.int64), 1024, pad_col=7)
+    x = jnp.zeros((8, 128), jnp.float32)
+    out0 = jnp.asarray(np.random.RandomState(0).randn(1024, 128),
+                       jnp.float32)
+    got = ds.dstream_merge(jnp.asarray(gcols), jnp.asarray(local),
+                           jnp.asarray(blk), jnp.asarray(lt), x, out0,
+                           group=g)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(out0))
+
+
+# ---------------- production integration (spill_impl='dstream') ------------
+
+
+def test_spill_impl_dstream_padded_e2e():
+    """HybridSpMM with spill_impl='dstream': plan carries ds_* arrays,
+    the padded path routes apply_spill through the streamed merge,
+    forward + gradient match the take-path op."""
+    from hcspmm_tpu.config import PlanConfig
+    from hcspmm_tpu.graphs import io
+    from hcspmm_tpu.ops.spmm import HybridSpMM, spmm_reference_dense
+
+    src, dst, n = io.synthetic_powerlaw(900, 5.0, seed=3)
+    rp, ci = io.to_csr(src, dst, n)
+    kw = dict(loi_mode="intended", impl="pallas", band_h=256,
+              band_widths=(256,), band_mode="auto")
+    op_t = HybridSpMM(rp, ci, n, PlanConfig(spill_impl="take", **kw))
+    op_d = HybridSpMM(rp, ci, n, PlanConfig(
+        spill_impl="dstream", dstream_min_edges_per_tile=1, **kw))
+    assert op_t.plan.spill_nnz > 0
+    assert op_d.plan.ds_blk is not None and op_t.plan.ds_blk is None
+    assert "ds_blk" in op_d.arrays["f"]
+    assert op_d.plan.ds_rows == op_d.plan.padded_rows
+    rng = np.random.RandomState(0)
+    x = rng.randn(n, 32).astype(np.float32)
+    zref = spmm_reference_dense(rp, ci, n, x)
+    scale = np.abs(zref).max() + 1e-9
+    for op in (op_t, op_d):
+        assert op.supports_padded
+        xp = op.pad_input(jnp.asarray(x))
+        z = np.asarray(op.unpad_output(op.apply_padded(op.arrays, xp), 32))
+        assert np.abs(z - zref).max() / scale < 1e-5
+
+    def loss(op, xp):
+        return (op.apply_padded(op.arrays, xp) ** 2).sum()
+
+    g_t = np.asarray(jax.grad(lambda v: loss(op_t, v))(
+        op_t.pad_input(jnp.asarray(x))))
+    g_d = np.asarray(jax.grad(lambda v: loss(op_d, v))(
+        op_d.pad_input(jnp.asarray(x))))
+    gs = np.abs(g_t).max() + 1e-9
+    assert np.abs(g_t[:n] - g_d[:n]).max() / gs < 1e-5
+
+
+def test_spill_impl_dstream_shard_plan_falls_back():
+    """Shard-uniform (caps) plans must NOT build dstream arrays."""
+    from hcspmm_tpu.config import PlanConfig
+    from hcspmm_tpu.format.plan import PlanCaps, build_plan
+    from hcspmm_tpu.graphs import io
+
+    src, dst, n = io.synthetic_powerlaw(600, 4.0, seed=1)
+    rp, ci = io.to_csr(src, dst, n)
+    p = build_plan(rp, ci, n, PlanConfig(
+        spill_impl="dstream", impl="pallas", band_h=256,
+        band_widths=(256,), band_mode="auto"),
+        caps=PlanCaps(num_spill_rows=4096, num_spill_edges=8192,
+                      band_supers=(8,)))
+    assert p.ds_blk is None
