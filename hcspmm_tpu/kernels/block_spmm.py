@@ -323,9 +323,13 @@ def _band_scratch(a, xp, d, fold=1):
 
 def _band_kernel(starts_ref, a_hbm, x_hbm, out_ref, aband, band,
                  asems, xsems, *, bb, precision, fold=1):
-    out_ref[0] = _band_body_deep(starts_ref, a_hbm, x_hbm, aband, band,
-                                 asems, xsems, bb=bb, precision=precision,
-                                 fold=fold)
+    acc = _band_body_deep(starts_ref, a_hbm, x_hbm, aband, band,
+                          asems, xsems, bb=bb, precision=precision,
+                          fold=fold)
+    if fold == 1:
+        out_ref[0] = acc
+    else:
+        _fold_store(out_ref.at[0], acc, fold)
 
 
 def band_bucket_spmm(starts, a, xp, fold=1):
@@ -392,10 +396,14 @@ def band_direct_dispatch(arrs, s, xp, num_sw, out_dtype, trash=False,
 def _band_kernel_direct(starts_ref, sw_ref, a_hbm, x_hbm, out_ref,
                         aband, band, asems, xsems, *, bb, precision,
                         fold=1):
-    out_ref[0] = _band_body_deep(
+    acc = _band_body_deep(
         starts_ref, a_hbm, x_hbm, aband, band, asems, xsems,
         bb=bb, precision=precision, fold=fold,
-    ).astype(out_ref.dtype)
+    )
+    if fold == 1:
+        out_ref[0] = acc.astype(out_ref.dtype)
+    else:
+        _fold_store(out_ref.at[0], acc, fold)
 
 
 def _band_kernel_grouped(starts_ref, a_ref, x_hbm, out_ref, band, sems, *,
