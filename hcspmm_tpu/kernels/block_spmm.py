@@ -806,7 +806,10 @@ def _spill_seg(arrs, xsrc, plan):
     """Per-spill-row aggregate [Rp, D] (fp32) of the spilled edges'
     gathered ``xsrc`` rows.  Column padding carries the dropped segment
     sentinel (seg == Rp), so whatever it gathers never lands."""
-    xe = jnp.take(xsrc, arrs["spill_edge_col"], axis=0)
+    # clip: padded cols (pad value num_cols, OOB when padded_rows ==
+    # num_nodes) route to the dropped dump segment regardless of what
+    # they gather, so clamping beats the default NaN-fill gather
+    xe = jnp.take(xsrc, arrs["spill_edge_col"], axis=0, mode="clip")
     return jax.ops.segment_sum(
         xe.astype(jnp.float32),
         arrs["spill_edge_seg"],

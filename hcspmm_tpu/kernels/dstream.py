@@ -183,7 +183,12 @@ def dstream_merge(gcols, local, blk, lt, xsrc, out, *, group: int):
     c = gcols.shape[0] // 128
     s = c // group
     assert local.shape == (-(-s // 8) * 8, group * 128), (local.shape, s)
-    gathered = jnp.take(xsrc, gcols, axis=0)               # [C*128, dp']
+    # mode='clip': padding slots carry pad_col which may equal len(xsrc)
+    # (plans where padded_rows == num_nodes); the default fill mode would
+    # gather NaN there and poison the one-hot dot (0 * NaN = NaN).  The
+    # sentinel local id already zeroes padding contributions, so any
+    # finite row is safe — clip is also the cheapest gather mode.
+    gathered = jnp.take(xsrc, gcols, axis=0, mode="clip")  # [C*128, dp']
     assert gathered.shape[1] == dp, (gathered.shape, dp)
     # the one-hot operand is exactly 0/1, so HIGHEST (bf16x3 passes) makes
     # the f32 merge exact; default precision would truncate the gathered

@@ -143,7 +143,9 @@ def _spmm_xla(arrs, x, *, num_buckets, num_ell, num_band, window_h, band_h,
         # band+spill additive residual (format.plan band_spill='auto'):
         # row padding is INT32_MAX -> dropped; col padding carries the
         # dropped segment sentinel, so its gathered value never lands
-        xe = jnp.take(xp, arrs["spill_edge_col"], axis=0)
+        # clip, not fill: pad col num_cols can be OOB for xp and would
+        # gather NaN; the dump segment drops the row either way
+        xe = jnp.take(xp, arrs["spill_edge_col"], axis=0, mode="clip")
         seg = jax.ops.segment_sum(
             xe.astype(jnp.float32), arrs["spill_edge_seg"],
             num_segments=num_spill_rows + 1, indices_are_sorted=True,

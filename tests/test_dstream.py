@@ -153,3 +153,27 @@ def test_spill_impl_dstream_shard_plan_falls_back():
         caps=PlanCaps(num_spill_rows=4096, num_spill_edges=8192,
                       band_supers=(8,)))
     assert p.ds_blk is None
+
+
+def test_dstream_merge_oob_pad_col():
+    """Regression: plans where padded_rows == num_nodes pass pad_col ==
+    len(xsrc) (out of bounds).  The default jnp.take fill mode gathered
+    NaN for the padding slots and 0 * NaN poisoned the one-hot dot —
+    the round-2 'ring kernel NaN' was actually this."""
+    rng = np.random.RandomState(5)
+    mp = 2048
+    rows, cols = _sorted_edges(rng, 900, mp, mp)
+    rows = np.sort(rows)
+    # pad_col == mp == len(x): every padding slot gathers out of bounds
+    gcols, local, blk, lt, g = ds.build_dstream(rows, cols, mp, pad_col=mp)
+    assert (gcols >= mp).any(), "test needs at least one padding slot"
+    x = rng.randn(mp, 128).astype(np.float32)
+    out0 = rng.randn(mp, 128).astype(np.float32)
+    got = np.asarray(ds.dstream_merge(
+        jnp.asarray(gcols), jnp.asarray(local), jnp.asarray(blk),
+        jnp.asarray(lt), jnp.asarray(x), jnp.asarray(out0), group=g))
+    ref = out0.copy()
+    np.add.at(ref, rows, x[cols])
+    assert np.isfinite(got).all()
+    scale = np.abs(ref).max() + 1e-9
+    assert np.abs(got - ref).max() / scale < 1e-5
