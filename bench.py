@@ -54,7 +54,7 @@ def main() -> int:
     reorder_mode = os.environ.get("HCSPMM_BENCH_REORDER", "rcm")
     band = os.environ.get("HCSPMM_BENCH_BAND", "auto")
     block = int(os.environ.get("HCSPMM_BENCH_BLOCK", 300))
-    k = int(os.environ.get("HCSPMM_BENCH_K", 20))
+    k = int(os.environ.get("HCSPMM_BENCH_K", 32))
     k1 = int(os.environ.get("HCSPMM_BENCH_K1", 10))
     # Default band config: bh=256 + auto width (the plan resolves a single
     # bucket from the extent distribution -> one no-alias direct-write

@@ -735,7 +735,7 @@ def build_plan(
                 qcov = rw[qs.index(float(config.band_coverage))]
                 cands = set()
                 for row in (qcov, rw[-1]):
-                    for pct in (50, 60, 70, 80, 90, 95, 99):
+                    for pct in (50, 60, 70, 80, 90, 95, 99, 100):
                         v = r_up(np.percentile(row, pct))
                         if v <= W_CAP:
                             cands.add(v)
@@ -747,15 +747,38 @@ def build_plan(
                 qs_arr = np.asarray(qs)
                 cand_list = sorted(cands)
                 cost_w = {}
+                unc_w_tot = {}
                 for wc in cand_list:
                     nq = (rw <= wc).sum(axis=0)
                     frac = np.where(nq > 0, qs_arr[np.maximum(nq - 1, 0)], 0.0)
                     cov = frac * E_ne
                     cost_w[wc] = (bh * wc + wc * dnom * xbytes) / bw_s \
                         + (E_ne - cov) * g_ns
+                    unc_w_tot[wc] = float((E_ne - cov).sum())
+                # A nonzero spill population costs a FIXED dispatch tax on
+                # top of the per-edge model: the take + merge chain's own
+                # launches and (for dstream) destination-block R/W floors.
+                # Round-2 hardware: routing 0.1% of DD's edges to spill
+                # cost +35-107 us vs the zero-spill shape (dd_default 643
+                # vs dd_w640 608; dstream delta in kernels/dstream.py) —
+                # the regression VERDICT r2 flagged.  Charging it here
+                # collapses near-zero-spill plans to the zero-spill
+                # direct-write shape (the 100th-percentile candidate).
+                spill_fixed = float(getattr(config, "spill_fixed_s", 80e-6))
+
+                def _tot_single(wc):
+                    per = np.minimum(cost_w[wc], sparse_cost[ne])
+                    # dropped supers (gather cheaper than the band block)
+                    # also ride the spill population in spill mode
+                    has_spill = (unc_w_tot[wc] > 0
+                                 or bool((cost_w[wc]
+                                          > sparse_cost[ne]).any()))
+                    return float(per.sum()) + (spill_fixed if has_spill
+                                               else 0.0)
+
                 best = None
                 for wc in cand_list:
-                    tot = float(np.minimum(cost_w[wc], sparse_cost[ne]).sum())
+                    tot = _tot_single(wc)
                     if best is None or tot < best[0]:
                         best = (tot, (wc,))
                 # 2-width ladders: a narrow bucket can band the loose-
@@ -771,9 +794,13 @@ def build_plan(
                 best_single = best[0]
                 for i, w_lo in enumerate(cand_list):
                     for w_hi in cand_list[i + 1:]:
-                        tot = float(np.minimum(
-                            np.minimum(cost_w[w_lo], cost_w[w_hi]),
-                            sparse_cost[ne]).sum()) + split_penalty_s
+                        pair = np.minimum(cost_w[w_lo], cost_w[w_hi])
+                        has_spill = (
+                            min(unc_w_tot[w_lo], unc_w_tot[w_hi]) > 0
+                            or bool((pair > sparse_cost[ne]).any()))
+                        tot = (float(np.minimum(pair, sparse_cost[ne]).sum())
+                               + split_penalty_s
+                               + (spill_fixed if has_spill else 0.0))
                         if tot < min(best[0], 0.85 * best_single):
                             best = (tot, (w_lo, w_hi))
                 band_widths = best[1]

@@ -42,7 +42,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--loi-mode", type=str, default="intended",
                    choices=["intended", "degenerate", "calibrated",
                             "all_dense", "all_sparse"])
-    p.add_argument("--impl", type=str, default="xla", choices=["xla", "pallas"])
+    p.add_argument("--impl", type=str, default="pallas",
+                   choices=["xla", "pallas"])
     p.add_argument("--band-fold", type=int, default=1, choices=[1, 2, 4],
                    help="narrow-dim folded activation layout: pack this "
                         "many rows per 128-lane VMEM row (all layer dims "
