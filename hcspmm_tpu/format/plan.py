@@ -185,6 +185,9 @@ class ExecutionPlan:
     #   consult only capacity shapes (never per-shard real counts), and
     #   direct-write kernels must always allocate the trash block
     xp_rows: int = 0            # SpMM impls pad X to >= this many rows
+    band_num_sw: int = 0        # superwindow grid size (>= ceil(n/band_h);
+    #   tiny pallas graphs bump it so M = band_num_sw*band_h covers the
+    #   128-column minimum band width — trailing supers are empty)
 
     # ---- tiled band (band_impl='tiled'): flat (super, X-tile) pairs ----
     # Canonical 128-row X tiles + a ring cache: each tile is DMA'd once
@@ -243,7 +246,8 @@ class ExecutionPlan:
         pad/slice passes (rows >= num_nodes stay exactly zero)."""
         if not self.band_widths:
             return self.num_nodes
-        return -(-self.num_nodes // self.band_h) * self.band_h
+        return max(self.band_num_sw,
+                   -(-self.num_nodes // self.band_h)) * self.band_h
 
     @property
     def band_padded_ok(self) -> bool:
@@ -359,7 +363,8 @@ class ExecutionPlan:
             # pad to capacity for uniform shard stacking / grouped grid
             # steps; padded entries point at the direct-write buffer's
             # trash block (index num_superwindows, see kernels.block_spmm)
-            num_sw = -(-self.num_nodes // self.band_h)
+            num_sw = max(self.band_num_sw,
+                         -(-self.num_nodes // self.band_h))
             d[f"band{s}_sw"] = _pad_to(
                 self.band_sw_ids[s].astype(np.int32),
                 self.band_starts[s].shape[0], num_sw,
@@ -625,6 +630,13 @@ def build_plan(
                 f"(band_fold={fold})")
     al = 16 * fold  # band-start alignment in original columns
     num_sw = (n + bh - 1) // bh if band_widths else 0
+    if band_widths and config.impl == "pallas":
+        # Pallas band widths have a 128-column floor (lane tile); the
+        # padded row space M = num_sw*band_h must cover the widest band
+        # (starts clamp into [0, M-W]).  Graphs smaller than 128 rows
+        # get trailing EMPTY superwindows (zero A blocks -> the direct
+        # write stores zeros there), keeping the padded invariant.
+        num_sw = max(num_sw, -(-128 // bh))
     band_starts: List[np.ndarray] = []
     band_edges: List[np.ndarray] = []
     band_sw_ids: List[np.ndarray] = []
@@ -723,8 +735,16 @@ def build_plan(
                     raise ValueError(
                         "band_widths='auto' cannot satisfy PlanCaps "
                         "(shard-uniform plans need explicit widths)")
-                # VMEM cap: see the band_spill='never' branch below.
-                W_CAP = 2048
+                # VMEM cap: see the band_spill='never' branch below.  Also
+                # capped at the padded row space M = num_sw*band_h: spill-
+                # mode starts clamp into [0, M-W] (negative for W > M), and
+                # the folded/padded fast path needs every slice inside M.
+                W_CAP = min(2048, max(128 if config.impl == "pallas" else 16,
+                                      (num_sw * bh)
+                                      // (128 if config.impl == "pallas"
+                                          else 16)
+                                      * (128 if config.impl == "pallas"
+                                         else 16)))
                 qs = tuple(sorted({0.5, 0.75, 0.9,
                                    float(config.band_coverage), 1.0}))
                 if _nat:
@@ -1195,6 +1215,7 @@ def build_plan(
                 * len(np.unique(sp_rows_e >> 7)))
             if (config.spill_impl == "dstream" and ds_dense_enough
                     and config.impl == "pallas" and band_widths
+                    and (num_sw * bh) % 128 == 0
                     and not (caps.num_spill_rows or caps.num_spill_edges)):
                 # dst-streamed Pallas merge layout (kernels/dstream.py);
                 # shard-uniform (caps) plans keep 'take' (chunk counts
@@ -1405,6 +1426,7 @@ def build_plan(
         band_ring=band_ring_scheds,
         band_full_cover=band_full_cover if band_widths else False,
         band_fold=fold,
+        band_num_sw=num_sw if band_widths else 0,
         xp_rows=xp_rows,
         **tiled_fields,
         **spill_fields,

@@ -762,7 +762,8 @@ def spmm_fused_pallas(arrs, x, w, plan, compute_dtype):
         # plans compose through the folded SpMM (weights need the
         # block-diagonal lane form — ops layer owns that)
         return None
-    num_sw = _cdiv(n, plan.band_h)
+    num_sw = max(getattr(plan, 'band_num_sw', 0),
+                 _cdiv(n, plan.band_h))
     nonempty = [s for s in range(len(plan.band_widths))
                 if arrs[f"band{s}_start"].shape[0] > 0]
     if len(nonempty) != 1 or len(plan.band_sw_ids[nonempty[0]]) != num_sw:
@@ -1070,7 +1071,8 @@ def spmm_pallas(arrs, x, plan, compute_dtype):
         # (lane dim must stay 128-padded: Mosaic rejects DMA refs whose
         # lane extent is not a tile multiple, even unsliced.  The final
         # [:, :d] fuses into downstream consumers, so it costs no pass.)
-        num_sw = _cdiv(n, plan.band_h)
+        num_sw = max(getattr(plan, 'band_num_sw', 0),
+                 _cdiv(n, plan.band_h))
         nonempty = [s for s in range(len(plan.band_widths))
                     if arrs[f"band{s}_start"].shape[0] > 0]
         if len(nonempty) == 1 and (

@@ -127,12 +127,23 @@ def build_ring_schedule(starts: np.ndarray, w: int,
     return order, pos, ftile, fslot, fvalid, flate
 
 
-def _ring_body(pos_ref, sched_ref, a_hbm, x_hbm, aring, ring, asems,
-               xsems, *, w, f_max, precision):
+def _ring_body(pos_ref, sched_ref, a_hbm, x_hbm, aring, ring, stage,
+               asems, xsems, stsems, *, w, f_max, precision):
     """Shared ring step: run the fetch schedule for this grid step and
     return ``A_i @ band_i`` (fp32).  ``sched_ref`` is the flat packed
     schedule from ``pack_ring_schedule`` (1-D: 2-D scalar-prefetch
-    operands are lane-padded to 128 words in smem and overflow it)."""
+    operands are lane-padded to 128 words in smem and overflow it).
+
+    The dot reads a STATIC double-buffered ``stage`` block, filled by an
+    async VMEM->VMEM DMA from the ring at the dynamic band offset one
+    step ahead.  Measured motivation (tools/ab_ring.py, v5e): slicing
+    the ring dynamically in the dot's operand cost ~280 ns/super of
+    in-critical-path copy (766 vs 522 us at DD/dim96) — the DMA engine
+    does the same copy asynchronously behind the previous step's dot.
+    Hazard note: a tile fetch for step s issues at s-(L-1), and the
+    ring is read by staging copies for steps p in [s-L+2, s] issued at
+    p-1 >= s-L+1 — the host's late-marking window [s-L+1, s-1] covers
+    every reader of pre-fetch slot content (build_ring_schedule)."""
     i = pl.program_id(0)
     s = pl.num_programs(0)
     L = aring.shape[0]
@@ -149,12 +160,26 @@ def _ring_body(pos_ref, sched_ref, a_hbm, x_hbm, aring, ring, asems,
             xsems.at[slot],
         )
 
+    def stage_dma(j):
+        return pltpu.make_async_copy(
+            ring.at[pl.ds(pl.multiple_of(pos_ref[j], 16), w), :],
+            stage.at[j % 2],
+            stsems.at[j % 2],
+        )
+
     def start_fetches(j, late_val):
         for k in range(f_max):
             v = sched_ref[j * f_max + k]
             @pl.when(((v & 1) == 1) & (((v >> 1) & 1) == late_val))
             def _():
                 x_dma(v >> 7, (v >> 2) & 31).start()
+
+    def wait_fetches(j):
+        for k in range(f_max):
+            v = sched_ref[j * f_max + k]
+            @pl.when((v & 1) == 1)
+            def _():
+                x_dma(v >> 7, (v >> 2) & 31).wait()
 
     @pl.when(i == 0)
     def _():
@@ -165,22 +190,32 @@ def _ring_body(pos_ref, sched_ref, a_hbm, x_hbm, aring, ring, asems,
             def _():
                 a_dma(j, j).start()
                 start_fetches(j, 0)
+        # step 0 has no previous step to stage for it: fetch-wait + late
+        # + stage synchronously (pipeline fills from step 1 on)
+        start_fetches(0, 1)
+        wait_fetches(0)
+        stage_dma(0).start()
 
     @pl.when(i + la < s)
     def _():
         a_dma(i + la, (i + la) % L).start()
         start_fetches(i + la, 0)
 
-    start_fetches(i, 1)  # late fetches: issue in the owning step
-
     a_dma(i, i % L).wait()
-    for k in range(f_max):
-        v = sched_ref[i * f_max + k]
-        @pl.when((v & 1) == 1)
-        def _():
-            x_dma(v >> 7, (v >> 2) & 31).wait()
+    # all ring reads for steps <= i must complete BEFORE any late fetch
+    # for step i+1 overwrites a slot (late = hazardous to prefetch)
+    stage_dma(i).wait()
 
-    band = ring[pl.ds(pl.multiple_of(pos_ref[i], 16), w), :]
+    # stage the NEXT step's band: its tiles were prefetched la-1 steps
+    # ago; late fetches (rebase hazards) are issued + waited here, then
+    # the VMEM->VMEM band copy runs behind this step's dot
+    @pl.when(i + 1 < s)
+    def _():
+        start_fetches(i + 1, 1)
+        wait_fetches(i + 1)
+        stage_dma(i + 1).start()
+
+    band = stage[i % 2]
     return jnp.dot(
         aring[i % L].astype(band.dtype), band,
         preferred_element_type=jnp.float32, precision=precision,
@@ -188,20 +223,22 @@ def _ring_body(pos_ref, sched_ref, a_hbm, x_hbm, aring, ring, asems,
 
 
 def _ring_kernel(pos_ref, sw_ref, sched_ref,
-                 a_hbm, x_hbm, out_ref, aring, ring, asems, xsems, *,
-                 w, f_max, precision):
+                 a_hbm, x_hbm, out_ref, aring, ring, stage, asems, xsems,
+                 stsems, *, w, f_max, precision):
     out_ref[0] = _ring_body(
         pos_ref, sched_ref, a_hbm, x_hbm,
-        aring, ring, asems, xsems, w=w, f_max=f_max, precision=precision,
+        aring, ring, stage, asems, xsems, stsems,
+        w=w, f_max=f_max, precision=precision,
     ).astype(out_ref.dtype)
 
 
 def _ring_kernel_fused(pos_ref, sw_ref, sched_ref,
                        a_hbm, x_hbm, w_ref, agg_ref, out_ref, aring, ring,
-                       asems, xsems, *, w, f_max, precision):
+                       stage, asems, xsems, stsems, *, w, f_max, precision):
     agg = _ring_body(
         pos_ref, sched_ref, a_hbm, x_hbm,
-        aring, ring, asems, xsems, w=w, f_max=f_max, precision=precision,
+        aring, ring, stage, asems, xsems, stsems,
+        w=w, f_max=f_max, precision=precision,
     )
     agg_ref[0] = agg.astype(agg_ref.dtype)
     out_ref[0] = jnp.dot(
@@ -246,8 +283,10 @@ def band_ring_spmm_direct(pos, sw_ids, sched,
         scratch_shapes=[
             pltpu.VMEM((L, bh, w), a.dtype),
             pltpu.VMEM((ring_tiles * 128, d), xp.dtype),
+            pltpu.VMEM((2, w, d), xp.dtype),
             pltpu.SemaphoreType.DMA((L,)),
             pltpu.SemaphoreType.DMA((ring_tiles,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
@@ -294,8 +333,10 @@ def band_ring_fused_direct(pos, sw_ids, sched,
         scratch_shapes=[
             pltpu.VMEM((L, bh, w), a.dtype),
             pltpu.VMEM((ring_tiles * 128, d), xp.dtype),
+            pltpu.VMEM((2, w, d), xp.dtype),
             pltpu.SemaphoreType.DMA((L,)),
             pltpu.SemaphoreType.DMA((ring_tiles,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(

@@ -121,6 +121,10 @@ def make_train_step(
         return params, opt_state, loss
 
     def train_step(params, opt_state, x, y, rng):
+        if padded:
+            fold = getattr(spmm.plan, "band_fold", 1)
+            if x.shape[0] != spmm.plan.padded_rows // fold:
+                x = spmm.pad_input(x)  # raw [N, d] (train() pre-pads)
         return _step(params, opt_state, arrays, x, y, rng)
 
     train_step.step_with_arrays = _step
