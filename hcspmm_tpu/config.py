@@ -148,16 +148,45 @@ class PlanConfig:
     # sites fall back to 'take', which is always built alongside).
     spill_impl: str = "dstream"
     # Minimum spill edges per touched 128-row destination tile for the
-    # dstream merge to beat take's per-edge cost (the merge pays ~128 KB
-    # of destination-block traffic per touched tile).
-    dstream_min_edges_per_tile: int = 16
+    # dstream merge to beat take's per-edge cost.  dstream's chunks are
+    # destination-tile-pure, so its gather reads chunks*128 rows: at
+    # fill f = edges/(128*tiles) the take stream inflates ~1/f.  Round-3
+    # hardware (artifacts/round3_hw.jsonl): powerlaw at 440 edges/tile
+    # wins 3.2x; the RD stand-in at 59 edges/tile LOSES (21.6 vs
+    # 17.4 ms) — the padding gathers outweigh the merge win.  128 puts
+    # the crossover between those measurements.
+    dstream_min_edges_per_tile: int = 128
+    # Column-range blocking of the dstream gather (kernels/dstream.py
+    # build_dstream_ranges): when the activation table exceeds this many
+    # MB, spill edges are partitioned by column range and each range
+    # gathers from a materialized contiguous X slice.  Probe (v5e,
+    # artifacts/round3_hw.jsonl): XLA random row-gather degrades with
+    # table footprint (3.9 ns/row @ 102 MB -> 8.6 @ 1.23 GB); slicing
+    # restores the small-table rate at the cost of one sequential X
+    # stream + extra merge passes.  0 disables blocking.
+    ds_table_mb: float = 192.0
+    # Minimum spill edges for blocking to engage (the slice streams cost
+    # ~X bytes once; below this the per-edge win cannot repay it).
+    ds_blocked_min_edges: int = 100_000
+    # Minimum spill edges per touched G*128-row destination BLOCK for
+    # the block-wide-chunk merge (kernels/dstream.py build_bstream) to
+    # engage when the per-tile density gate fails: each touched block
+    # pays ~2x G*128 x dp of R/W.
+    bstream_min_edges_per_block: int = 192
+    # Band-block compute wall: int8->bf16 convert + MXU dot seconds per
+    # A ELEMENT (v5e measured: DD's 214M-element band ~450 us compute-
+    # bound, docs/ROADMAP.md) — prices wide low-occupancy bands.
+    a_elem_ps: float = 2.1
     # Fixed cost (seconds) of HAVING a spill population at all: the
     # take+merge chain's dispatch/launch floor on top of the per-edge
     # model.  Round-2 hardware measured +35-107 us at DD scale for a
     # 1,865-edge (0.1%) spill vs the zero-spill direct-write shape; the
     # auto-width cost model charges this so near-zero-spill plans
-    # collapse to the zero-spill shape (VERDICT r2 weak #2).
-    spill_fixed_s: float = 80e-6
+    # collapse to the zero-spill shape (VERDICT r2 weak #2).  120 us =
+    # the upper end of the measured delta (643 - 535 us, dd_default vs
+    # round-1): the round-3 interpolated coverage model otherwise
+    # re-picked the regressed W=512+spill shape on DD.
+    spill_fixed_s: float = 120e-6
     # Target edge-coverage quantile when resolving band widths from the
     # per-superwindow *robust* extent (minimal window covering this
     # fraction of the super's edges) instead of the full extent.

@@ -152,6 +152,11 @@ class ExecutionPlan:
     ds_lt: Optional[np.ndarray] = None     # int32 [C] tile within block
     ds_group: int = 0                      # G (0 = population absent)
     ds_rows: int = 0                       # padded row space the blocks index
+    ds_meta: Optional[dict] = None         # column-range blocking slice
+    #   table (kernels/dstream.py build_dstream_ranges): static host
+    #   metadata, NOT a device array
+    ds_kind: str = "tile"                  # 'tile' = dstream (tile-pure
+    #   chunks); 'block' = bstream (block-wide chunks, low-density fix)
 
     # ---- banded (MXU block-band) path: one entry per band-width bucket ----
     band_h: int = 16                          # superwindow height (rows)
@@ -759,6 +764,16 @@ def build_plan(
                         v = r_up(np.percentile(row, pct))
                         if v <= W_CAP:
                             cands.add(v)
+                # hub-heavy graphs have extent distributions whose every
+                # percentile exceeds W_CAP, leaving only the widest
+                # candidate — but the placed-window coverage curve is
+                # concave, so NARROW windows + spill often win there
+                # (round-3 hardware: RD resolves 2048 from percentiles
+                # alone while the width sweep measured W=512 1.2x
+                # faster).  Always consider a fixed ladder too.
+                for v in (128, 256, 384, 512, 640, 768, 1024, 1536, 2048):
+                    if v <= W_CAP and v == r_up(v):
+                        cands.add(v)
                 if not cands:
                     cands.add(r_up(min(int(np.median(qcov)), W_CAP)))
                 # total modeled cost per candidate width; coverage comes
@@ -768,12 +783,35 @@ def build_plan(
                 cand_list = sorted(cands)
                 cost_w = {}
                 unc_w_tot = {}
+                # band-block compute wall: the int8->bf16 convert + MXU
+                # dot cost ~2.1 ps per A ELEMENT on v5e (measured: DD's
+                # 214M-element band runs ~450 us compute-bound,
+                # docs/ROADMAP.md) — wide low-occupancy bands hit this
+                # before the byte stream
+                a_elem_s = float(getattr(config, "a_elem_ps", 2.1)) * 1e-12
                 for wc in cand_list:
                     nq = (rw <= wc).sum(axis=0)
-                    frac = np.where(nq > 0, qs_arr[np.maximum(nq - 1, 0)], 0.0)
+                    lo = np.maximum(nq - 1, 0)
+                    frac = np.where(nq > 0, qs_arr[lo], 0.0)
+                    # linear interpolation toward the next quantile step:
+                    # the step function is a coverage LOWER bound, which
+                    # over-charged narrow candidates with phantom spill
+                    # (round-3: RD resolved W=2048 while hardware said
+                    # W=512, artifacts/round3_hw.jsonl width sweeps)
+                    hi = np.minimum(nq, len(qs_arr) - 1)
+                    w_lo = np.where(nq > 0,
+                                    rw[lo, np.arange(rw.shape[1])], 0.0)
+                    w_hi = rw[hi, np.arange(rw.shape[1])]
+                    t = np.clip((wc - w_lo) / np.maximum(w_hi - w_lo, 1.0),
+                                0.0, 1.0)
+                    frac = frac + (qs_arr[hi] - np.where(nq > 0, qs_arr[lo],
+                                                         0.0)) * t
+                    frac = np.minimum(frac, 1.0)
                     cov = frac * E_ne
-                    cost_w[wc] = (bh * wc + wc * dnom * xbytes) / bw_s \
-                        + (E_ne - cov) * g_ns
+                    band_s = np.maximum(
+                        (bh * wc + wc * dnom * xbytes) / bw_s,
+                        bh * wc * a_elem_s)
+                    cost_w[wc] = band_s + (E_ne - cov) * g_ns
                     unc_w_tot[wc] = float((E_ne - cov).sum())
                 # A nonzero spill population costs a FIXED dispatch tax on
                 # top of the per-edge model: the take + merge chain's own
@@ -1213,6 +1251,21 @@ def build_plan(
             ds_dense_enough = spill_nnz and (
                 spill_nnz >= config.dstream_min_edges_per_tile
                 * len(np.unique(sp_rows_e >> 7)))
+            ds_kind = "tile"
+            if (spill_nnz and not ds_dense_enough
+                    and config.spill_impl == "dstream"):
+                # low edges-per-tile (tile-pure chunks would gather
+                # ~1/fill padding rows): fall back to BLOCK-wide chunks
+                # (kernels/dstream.py build_bstream) when the per-BLOCK
+                # density still amortizes the destination-block R/W
+                from hcspmm_tpu.kernels.dstream import pick_group as _pg
+
+                _g = _pg(num_sw * bh) if (num_sw * bh) % 128 == 0 else 1
+                blocks_t = len(np.unique(sp_rows_e // (_g * 128)))
+                if (_g > 1 and spill_nnz
+                        >= config.bstream_min_edges_per_block * blocks_t):
+                    ds_kind = "block"
+                    ds_dense_enough = True
             if (config.spill_impl == "dstream" and ds_dense_enough
                     and config.impl == "pallas" and band_widths
                     and (num_sw * bh) % 128 == 0
@@ -1221,14 +1274,50 @@ def build_plan(
                 # shard-uniform (caps) plans keep 'take' (chunk counts
                 # are not shard-uniform).  Edges are CSR order = dst-
                 # sorted already.
-                from hcspmm_tpu.kernels.dstream import build_dstream
+                from hcspmm_tpu.kernels.dstream import (build_dstream,
+                                                        build_dstream_ranges)
 
                 mp = num_sw * bh
-                ds_g, ds_l, ds_b, ds_t, ds_grp = build_dstream(
-                    sp_rows_e, sp_cols_e, mp, pad_col=c)
+                # column-range blocking (see config.ds_table_mb): the
+                # activation table estimate assumes the padded dp=128
+                # lane floor at the plan's compute dtype
+                el_b = 2 if config.compute_dtype == "bfloat16" else 4
+                tbl_mb = mp * 128 * el_b / 1e6
+                n_rng = 1
+                if (config.ds_table_mb > 0
+                        and spill_nnz >= config.ds_blocked_min_edges
+                        and tbl_mb > config.ds_table_mb):
+                    n_rng = int(-(-tbl_mb // config.ds_table_mb))
+                    # blocking splits every destination tile's edges
+                    # across ranges, so chunk fill (and the padding
+                    # gathers) scale with per-RANGE density: measured
+                    # 2.5x LOSS at 15 edges/(range*tile) on the RD
+                    # stand-in (artifacts/round3_hw.jsonl) — require
+                    # the same density gate per range
+                    tiles_t = max(len(np.unique(sp_rows_e >> 7)), 1)
+                    if (spill_nnz / (n_rng * tiles_t)
+                            < config.dstream_min_edges_per_tile):
+                        n_rng = 1
+                if ds_kind == "block":
+                    from hcspmm_tpu.kernels.dstream import build_bstream
+
+                    ds_g, ds_l, ds_b, ds_grp = build_bstream(
+                        sp_rows_e, sp_cols_e, mp, pad_col=c)
+                    ds_t, ds_m = np.zeros(0, dtype=np.int32), None
+                elif n_rng > 1:
+                    ds_g, ds_l, ds_b, ds_t, ds_grp, ds_m = (
+                        build_dstream_ranges(sp_rows_e, sp_cols_e, mp,
+                                             pad_col=c, num_ranges=n_rng,
+                                             range_rows=-(-mp // (128 * n_rng))
+                                             * 128))
+                else:
+                    ds_g, ds_l, ds_b, ds_t, ds_grp = build_dstream(
+                        sp_rows_e, sp_cols_e, mp, pad_col=c)
+                    ds_m = None
                 spill_fields.update(
                     ds_gcols=ds_g, ds_local=ds_l, ds_blk=ds_b, ds_lt=ds_t,
-                    ds_group=ds_grp, ds_rows=mp)
+                    ds_group=ds_grp, ds_rows=mp, ds_meta=ds_m,
+                    ds_kind=ds_kind)
 
     # -------------------- tiled band pair stream --------------------
     tiled_fields = {}

@@ -98,6 +98,15 @@ class GraphDataset:
         return cls.from_edges(src, dst, n, dim, num_classes, seed, t0)
 
     @classmethod
+    def from_file(cls, path: str, dim: int, num_classes: int,
+                  seed: int = 0) -> "GraphDataset":
+        """Any supported adjacency format (io.load_edges_any): reference
+        txt/npz, ogb edge_index npz/npy, scipy CSR npz, ogb raw dir."""
+        t0 = time.perf_counter()
+        src, dst, n = io.load_edges_any(path)
+        return cls.from_edges(src, dst, n, dim, num_classes, seed, t0)
+
+    @classmethod
     def synthetic(
         cls,
         num_nodes: int,

@@ -46,6 +46,84 @@ def save_edges_npz(path: str, src: np.ndarray, dst: np.ndarray, num_nodes: int) 
     np.savez(path, src_li=src, dst_li=dst, num_nodes=num_nodes)
 
 
+def load_edges_any(path: str) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Real-dataset adapter (VERDICT r2 #10): load whatever adjacency
+    format a public download ships as.  Returns (src, dst, num_nodes).
+
+    Accepted (detected, not configured):
+    - reference ``.npz`` (src_li/dst_li/num_nodes, dataset.py:68-82);
+    - ogb-style ``.npz``/``.npy`` with ``edge_index`` int [2, E]
+      (0-indexed, as ogb's ``graph.npz``/PyG export);
+    - ``.npz`` with a scipy CSR (``indptr``/``indices``[/``shape``] or
+      the ``scipy.sparse.save_npz`` ``indptr``/``indices``/``format``
+      layout);
+    - ``.npz``/``.npy`` with ``src``+``dst`` or ``row``+``col`` arrays;
+    - bare ``.npy`` int array [2, E] or [E, 2];
+    - an ogb dataset DIRECTORY: ``<dir>/raw/edge.csv[.gz]`` 0-indexed
+      "src,dst" lines (+ optional ``num-node-list.csv[.gz]``);
+    - ``.txt``/``.csv`` files: the reference "dst,src" 1-indexed format.
+    """
+    import os
+
+    def _pair(a, n=None):
+        a = np.asarray(a)
+        if a.ndim == 2 and a.shape[0] == 2:
+            src, dst = a[0], a[1]
+        elif a.ndim == 2 and a.shape[1] == 2:
+            src, dst = a[:, 0], a[:, 1]
+        else:
+            raise ValueError(f"edge array has shape {a.shape}, want [2,E]")
+        nn = n if n else int(max(src.max(), dst.max())) + 1
+        return src.astype(np.int32), dst.astype(np.int32), int(nn)
+
+    if os.path.isdir(path):
+        import gzip
+
+        for sub in ("raw", "."):
+            for name in ("edge.csv.gz", "edge.csv"):
+                f = os.path.join(path, sub, name)
+                if os.path.exists(f):
+                    op = gzip.open if f.endswith(".gz") else open
+                    with op(f, "rt") as fh:
+                        raw = np.loadtxt(fh, delimiter=",",
+                                         dtype=np.int64, ndmin=2)
+                    n = None
+                    for nn in ("num-node-list.csv.gz", "num-node-list.csv"):
+                        g = os.path.join(path, sub, nn)
+                        if os.path.exists(g):
+                            opn = gzip.open if g.endswith(".gz") else open
+                            with opn(g, "rt") as fh:
+                                n = int(np.loadtxt(fh, ndmin=1)[0])
+                            break
+                    return _pair(raw, n)
+        raise FileNotFoundError(f"no edge.csv[.gz] under {path}")
+    if path.endswith(".npy"):
+        return _pair(np.load(path))
+    if path.endswith(".npz"):
+        obj = np.load(path, allow_pickle=False)
+        keys = set(obj.files)
+        if {"src_li", "dst_li"} <= keys:
+            return load_edges_npz(path)
+        if "edge_index" in keys:
+            n = int(obj["num_nodes"]) if "num_nodes" in keys else None
+            return _pair(obj["edge_index"], n)
+        if {"indptr", "indices"} <= keys:
+            indptr = np.asarray(obj["indptr"], dtype=np.int64)
+            indices = np.asarray(obj["indices"], dtype=np.int32)
+            n = len(indptr) - 1
+            if "shape" in keys:
+                n = int(np.asarray(obj["shape"]).ravel()[0])
+            src = np.repeat(np.arange(n, dtype=np.int32),
+                            np.diff(indptr[: n + 1]))
+            return src, indices[: len(src)], n
+        for a, b in (("src", "dst"), ("row", "col")):
+            if {a, b} <= keys:
+                n = int(obj["num_nodes"]) if "num_nodes" in keys else None
+                return _pair(np.stack([obj[a], obj[b]]), n)
+        raise ValueError(f"unrecognized npz keys {sorted(keys)} in {path}")
+    return load_edges_txt(path)
+
+
 def to_csr(
     src: np.ndarray, dst: np.ndarray, num_nodes: int
 ) -> Tuple[np.ndarray, np.ndarray]:
@@ -114,10 +192,20 @@ def synthetic_blocks(
 # typical social/web-graph exponent, rather than the unpublished true
 # distributions; N, E, and dim match Table II exactly).
 REFERENCE_GRAPHS = {
+    # all 13 report Table II rows (BASELINE.md)
+    "CS": dict(num_nodes=3_327, num_edges=9_464, dim=3703),
+    "CR": dict(num_nodes=2_708, num_edges=10_858, dim=1433),
+    "PM": dict(num_nodes=19_717, num_edges=88_676, dim=500),
+    "PT": dict(num_nodes=43_471, num_edges=162_088, dim=29),
     "DD": dict(num_nodes=334_925, num_edges=1_686_092, dim=89),
     "AZ": dict(num_nodes=410_236, num_edges=3_356_824, dim=96),
+    "YS": dict(num_nodes=1_710_902, num_edges=3_636_546, dim=74),
+    "OC": dict(num_nodes=1_889_542, num_edges=3_946_402, dim=66),
+    "GH": dict(num_nodes=1_448_038, num_edges=5_971_562, dim=64),
+    "YH": dict(num_nodes=3_138_114, num_edges=6_487_230, dim=75),
     "RD": dict(num_nodes=4_859_280, num_edges=10_149_830, dim=96),
     "TT": dict(num_nodes=3_771_081, num_edges=22_011_034, dim=96),
+    "DP": dict(num_nodes=18_268_981, num_edges=172_183_984, dim=96),
     # ogbn scale stand-ins (BASELINE.json configs; public statistics)
     "ARXIV": dict(num_nodes=169_343, num_edges=1_166_243, dim=128),
     "PRODUCTS": dict(num_nodes=2_449_029, num_edges=61_859_140, dim=100),
@@ -252,6 +340,19 @@ STANDIN_STRUCTURE = {
     # component ~280 nodes): near-zero mixing, RCM/pack can band it —
     # the band path's home regime (round-1 headline config).
     "DD": dict(kind="dcsbm", mixing=0.02, comm_min=64, comm_max=480),
+    # citation graphs: moderate clustering, small communities
+    "CS": dict(kind="dcsbm", mixing=0.20, comm_min=8, comm_max=64),
+    "CR": dict(kind="dcsbm", mixing=0.20, comm_min=8, comm_max=64),
+    "PM": dict(kind="dcsbm", mixing=0.25, comm_min=8, comm_max=128),
+    # molecule-union datasets like DD (TUDataset unions of small
+    # disjoint graphs): near-zero mixing, small components
+    "PT": dict(kind="dcsbm", mixing=0.02, comm_min=16, comm_max=128),
+    "YS": dict(kind="dcsbm", mixing=0.02, comm_min=16, comm_max=128),
+    "OC": dict(kind="dcsbm", mixing=0.02, comm_min=16, comm_max=128),
+    "YH": dict(kind="dcsbm", mixing=0.02, comm_min=16, comm_max=128),
+    # social / web graphs: hub-heavy, high mixing
+    "GH": dict(kind="dcsbm", mixing=0.35, comm_min=16, comm_max=512),
+    "DP": dict(kind="dcsbm", mixing=0.30, comm_min=16, comm_max=512),
     "AZ": dict(kind="dcsbm", mixing=0.25, comm_min=16, comm_max=256),
     "RD": dict(kind="dcsbm", mixing=0.30, comm_min=16, comm_max=512),
     "TT": dict(kind="dcsbm", mixing=0.30, comm_min=16, comm_max=512),

@@ -133,6 +133,208 @@ def build_dstream(rows: np.ndarray, cols: np.ndarray, padded_rows: int,
     return gcols, local, blk, lt, group
 
 
+def build_bstream(rows: np.ndarray, cols: np.ndarray, padded_rows: int,
+                  pad_col: int, group: int = 0
+                  ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """BLOCK-wide chunking for the streamed merge (round-3 low-density
+    fix).  ``build_dstream``'s chunks are destination-TILE-pure, so at
+    low edges-per-tile the gather stream inflates ~1/fill with padding
+    rows (measured 2.2x on the RD stand-in at 59 edges/tile,
+    artifacts/round3_hw.jsonl).  Here a chunk only breaks at G*128-row
+    destination BLOCK boundaries — fill recovers (each block pads at
+    most one partial chunk) and the kernel routes each chunk with ONE
+    taller one-hot dot [G*128, 128] instead of G tile dots.  The extra
+    MXU work is idle capacity in this regime (the spill population is
+    gather-bound).
+
+    Returns (gcols [C*128] int32 take indices (pad ``pad_col``);
+    local [ceil(C/8)*8, 128] int32 — dst row within its G*128-row block,
+    sentinel G*128; blk [C] int32 — destination block per chunk,
+    nondecreasing; group).  One grid step per chunk.
+    """
+    if not group:
+        group = pick_group(padded_rows)
+    rows = np.asarray(rows, dtype=np.int64)
+    cols = np.asarray(cols, dtype=np.int64)
+    e = len(rows)
+    span = group * 128
+    sent = span
+    if e:
+        assert rows.max() < padded_rows, (rows.max(), padded_rows)
+        blko = rows // span
+        new_b = np.empty(e, dtype=bool)
+        new_b[0] = True
+        np.not_equal(blko[1:], blko[:-1], out=new_b[1:])
+        bseg = np.cumsum(new_b) - 1
+        bstart = np.zeros(bseg[-1] + 1, dtype=np.int64)
+        bstart[bseg[new_b]] = np.where(new_b)[0]
+        within = np.arange(e) - bstart[bseg]
+        newc = new_b | ((within & 127) == 0)
+        chunk_of = np.cumsum(newc) - 1
+        c = int(chunk_of[-1]) + 1
+        cstart = np.zeros(c, dtype=np.int64)
+        cstart[chunk_of[newc]] = np.where(newc)[0]
+        slot = np.arange(e) - cstart[chunk_of]
+        gcols = np.full(c * 128, pad_col, dtype=np.int32)
+        lpad = -(-c // 8) * 8
+        local = np.full((lpad, 128), sent, dtype=np.int32)
+        gcols[chunk_of * 128 + slot] = cols.astype(np.int32)
+        local[chunk_of, slot] = (rows % span).astype(np.int32)
+        blk = blko[newc].astype(np.int32)
+    else:
+        c = 1
+        gcols = np.full(c * 128, pad_col, dtype=np.int32)
+        local = np.full((8, 128), sent, dtype=np.int32)
+        blk = np.zeros(1, dtype=np.int32)
+    return gcols, local, blk, group
+
+
+def _bstream_kernel(blk_ref, local_ref, gath_ref, prev_ref, out_ref,
+                    acc_ref, *, group, out_dtype, precision):
+    s = pl.program_id(0)
+    ns = pl.num_programs(0)
+    first = jnp.logical_or(s == 0, blk_ref[s] != blk_ref[jnp.maximum(s - 1, 0)])
+    last = jnp.logical_or(s == ns - 1,
+                          blk_ref[s] != blk_ref[jnp.minimum(s + 1, ns - 1)])
+
+    @pl.when(first)
+    def _():
+        acc_ref[...] = prev_ref[...].astype(jnp.float32)
+
+    span = group * 128
+    lane = jax.lax.broadcasted_iota(jnp.int32, (span, 128), 0)
+    # local arrives as an 8-chunk [8, 128] VMEM block; row s%8 is this
+    # chunk's, selected by a masked sum (Mosaic rejects dynamic
+    # unaligned sublane loads)
+    rowmask = (jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) == s % 8)
+    lg = jnp.sum(jnp.where(rowmask, local_ref[...], 0), axis=0,
+                 keepdims=True)
+    onehot = (lane == lg).astype(gath_ref.dtype)
+    acc_ref[...] += jax.lax.dot_general(
+        onehot, gath_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+
+    @pl.when(last)
+    def _():
+        out_ref[...] = acc_ref[...].astype(out_dtype)
+
+
+def bstream_merge(gcols, local, blk, xsrc, out, *, group: int):
+    """``out + scatter-add of xsrc[gcols] by destination``, block-wide
+    chunks (build_bstream).  Same contract as dstream_merge."""
+    m, dp = out.shape
+    assert m % (group * 128) == 0, (m, group)
+    c = gcols.shape[0] // 128
+    assert local.shape == (-(-c // 8) * 8, 128), (local.shape, c)
+    gathered = jnp.take(xsrc, gcols, axis=0, mode="clip")
+    assert gathered.shape[1] == dp, (gathered.shape, dp)
+    precision = (jax.lax.Precision.HIGHEST
+                 if gathered.dtype == jnp.float32
+                 else jax.lax.Precision.DEFAULT)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,                             # blk
+        grid=(c,),
+        in_specs=[
+            pl.BlockSpec((8, 128), lambda i, b_: (i // 8, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, dp), lambda i, b_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((group * 128, dp), lambda i, b_: (b_[i], 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((group * 128, dp), lambda i, b_: (b_[i], 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((group * 128, dp), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_bstream_kernel, group=group, out_dtype=out.dtype,
+                          precision=precision),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m, dp), out.dtype),
+        input_output_aliases={3: 0},
+        interpret=_interpret(),
+    )(blk, local, gathered, out)
+
+
+def build_dstream_ranges(rows: np.ndarray, cols: np.ndarray,
+                         padded_rows: int, pad_col: int,
+                         num_ranges: int, range_rows: int,
+                         group: int = 0):
+    """Column-range-blocked dstream layout (round-3 spill gather fix).
+
+    Hardware motivation (artifacts/round3_hw.jsonl take_vs_table probe,
+    v5e): XLA's random row gather rate degrades with the SOURCE TABLE
+    footprint — 3.9 ns/row from a 102 MB table vs 8.6 ns/row from
+    1.23 GB (and ~19 ns/row measured end-to-end on the RD stand-in's
+    ~0.5 GB activation) — a page-locality latency wall, not bandwidth.
+    Splitting the spill edges by COLUMN range and gathering each range
+    from a materialized contiguous slice of X restores the small-table
+    rate; the merges chain through the same aliased output (dstream is
+    additive), so correctness is unchanged.  Reference analog: the
+    CUDA-core path's L2 captures exactly this locality on GPU
+    (hybrid_all_kernel.cu:964-1036, report §IV-B).
+
+    Edges must arrive dst-sorted (CSR order); the stable column-range
+    partition preserves that within each range.  Range p gathers from
+    ``x[r0_p : r0_p + range_rows]`` with ``r0_p = min(p*range_rows,
+    padded_rows - range_rows)`` (the last range rebases against the
+    clamped start).  Returns (gcols, local, blk, lt, group, meta) with
+    the per-range arrays concatenated and ``meta`` holding the static
+    slice table: dict(r0 [P], steps [P+1], chunks [P+1], lrows [P+1],
+    range_rows).
+    """
+    rows = np.asarray(rows, dtype=np.int64)
+    cols = np.asarray(cols, dtype=np.int64)
+    if not group:
+        group = pick_group(padded_rows)
+    r0s, g_l, l_l, b_l, t_l = [], [], [], [], []
+    steps = [0]
+    chunks = [0]
+    lrows = [0]
+    for p in range(num_ranges):
+        r0 = min(p * range_rows, max(padded_rows - range_rows, 0))
+        c0, c1 = p * range_rows, (p + 1) * range_rows
+        if p == num_ranges - 1:
+            c1 = max(c1, padded_rows, int(cols.max()) + 1 if len(cols)
+                     else 0)
+        m = (cols >= c0) & (cols < c1)
+        r0s.append(r0)
+        if not m.any():
+            steps.append(steps[-1])
+            chunks.append(chunks[-1])
+            lrows.append(lrows[-1])
+            continue
+        # rebase against the clamped slice start; pad_col -> range_rows
+        # (clip mode keeps it in the slice, sentinel local zeroes it)
+        g, l, b, t, _ = build_dstream(rows[m], cols[m] - r0, padded_rows,
+                                      pad_col=range_rows, group=group)
+        g_l.append(g)
+        l_l.append(l)
+        b_l.append(b)
+        t_l.append(t)
+        steps.append(steps[-1] + len(b))
+        chunks.append(chunks[-1] + len(t))
+        lrows.append(lrows[-1] + l.shape[0])
+    if not g_l:  # no spill edges at all (callers normally gate on this)
+        g, l, b, t, _ = build_dstream(rows[:0], cols[:0], padded_rows,
+                                      pad_col=range_rows, group=group)
+        g_l, l_l, b_l, t_l = [g], [l], [b], [t]
+        steps = [0, len(b)]
+        chunks = [0, len(t)]
+        lrows = [0, l.shape[0]]
+        r0s = [0] * max(num_ranges, 1)
+    meta = dict(r0=np.asarray(r0s, dtype=np.int64),
+                steps=np.asarray(steps, dtype=np.int64),
+                chunks=np.asarray(chunks, dtype=np.int64),
+                lrows=np.asarray(lrows, dtype=np.int64),
+                range_rows=int(range_rows))
+    return (np.concatenate(g_l), np.concatenate(l_l, axis=0),
+            np.concatenate(b_l), np.concatenate(t_l), group, meta)
+
+
 def _dstream_kernel(blk_ref, lt_ref, local_ref, gath_ref, prev_ref, out_ref,
                     acc_ref, *, group, out_dtype, precision):
     s = pl.program_id(0)
@@ -225,6 +427,34 @@ def dstream_merge(gcols, local, blk, lt, xsrc, out, *, group: int):
 
 def dstream_spill(arrs, xsrc, out, plan):
     """apply_spill dispatch target: requires plan.ds_group and out in the
-    full padded row space (callers that slice to [n] fall back to take)."""
-    return dstream_merge(arrs["ds_gcols"], arrs["ds_local"], arrs["ds_blk"],
-                         arrs["ds_lt"], xsrc, out, group=plan.ds_group)
+    full padded row space (callers that slice to [n] fall back to take).
+
+    Column-range-blocked plans (plan.ds_meta, build_dstream_ranges) loop
+    the ranges: each materializes a contiguous X slice (sequential copy)
+    and merges through the aliased output — the take gathers run against
+    small tables at the fast page-local rate."""
+    if getattr(plan, "ds_kind", "tile") == "block":
+        return bstream_merge(arrs["ds_gcols"], arrs["ds_local"],
+                             arrs["ds_blk"], xsrc, out,
+                             group=plan.ds_group)
+    meta = getattr(plan, "ds_meta", None)
+    if meta is None:
+        return dstream_merge(arrs["ds_gcols"], arrs["ds_local"],
+                             arrs["ds_blk"], arrs["ds_lt"], xsrc, out,
+                             group=plan.ds_group)
+    rr = int(meta["range_rows"])
+    g = plan.ds_group
+    steps, chunks, lrows, r0 = (meta["steps"], meta["chunks"],
+                                meta["lrows"], meta["r0"])
+    for p in range(len(r0)):
+        if p >= len(steps) - 1 or steps[p + 1] == steps[p]:
+            continue  # empty range: no slice, no kernel
+        xs = jax.lax.dynamic_slice(
+            xsrc, (int(r0[p]), 0), (rr, xsrc.shape[1]))
+        out = dstream_merge(
+            arrs["ds_gcols"][int(chunks[p]) * 128:int(chunks[p + 1]) * 128],
+            arrs["ds_local"][int(lrows[p]):int(lrows[p + 1])],
+            arrs["ds_blk"][int(steps[p]):int(steps[p + 1])],
+            arrs["ds_lt"][int(chunks[p]):int(chunks[p + 1])],
+            xs, out, group=g)
+    return out

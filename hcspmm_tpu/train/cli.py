@@ -90,8 +90,11 @@ def load_dataset(args) -> GraphDataset:
     name = args.dataset
     if name.endswith(".txt") and os.path.exists(name):
         return GraphDataset.from_txt(name, args.dim, args.classes, args.seed)
-    if name.endswith(".npz") and os.path.exists(name):
-        return GraphDataset.from_npz(name, args.dim, args.classes, args.seed)
+    if os.path.exists(name) and name not in (".",):
+        # real-dataset adapter (io.load_edges_any): reference npz, ogb
+        # edge_index npz/npy, scipy CSR npz, ogb raw directory, csv
+        return GraphDataset.from_file(name, args.dim, args.classes,
+                                      args.seed)
     candidate = os.path.join("Dataset", name + ".txt")
     if os.path.exists(candidate):
         return GraphDataset.from_txt(candidate, args.dim, args.classes, args.seed)

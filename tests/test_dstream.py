@@ -177,3 +177,145 @@ def test_dstream_merge_oob_pad_col():
     assert np.isfinite(got).all()
     scale = np.abs(ref).max() + 1e-9
     assert np.abs(got - ref).max() / scale < 1e-5
+
+
+def test_dstream_ranges_merge_matches_scatter_add():
+    """Column-range-blocked layout (build_dstream_ranges): the chained
+    per-range merges must equal one global scatter-add."""
+    rng = np.random.RandomState(7)
+    mp = 4096
+    rows, cols = _sorted_edges(rng, 3000, mp, mp)
+    rr = 1024
+    nr = 4
+    gcols, local, blk, lt, g, meta = ds.build_dstream_ranges(
+        rows, cols, mp, pad_col=mp, num_ranges=nr, range_rows=rr)
+    assert len(meta["r0"]) == nr and len(meta["steps"]) == nr + 1
+    x = rng.randn(mp, 128).astype(np.float32)
+    out0 = rng.randn(mp, 128).astype(np.float32)
+
+    class _Plan:
+        ds_group = g
+        ds_meta = meta
+
+    got = np.asarray(ds.dstream_spill(
+        dict(ds_gcols=jnp.asarray(gcols), ds_local=jnp.asarray(local),
+             ds_blk=jnp.asarray(blk), ds_lt=jnp.asarray(lt)),
+        jnp.asarray(x), jnp.asarray(out0), _Plan))
+    ref = out0.copy()
+    np.add.at(ref, rows, x[cols])
+    scale = np.abs(ref).max() + 1e-9
+    assert np.isfinite(got).all()
+    assert np.abs(got - ref).max() / scale < 1e-5
+
+
+def test_dstream_ranges_empty_and_clamped_tail():
+    """Ranges with no edges are skipped; the clamped last range (r0 =
+    mp - range_rows) rebases correctly; uneven mp/range_rows."""
+    rng = np.random.RandomState(8)
+    mp = 2048 + 1024  # 3 * 1024, range_rows 2048 -> clamped tail
+    rows = np.sort(rng.randint(0, mp, size=500))
+    cols = np.concatenate([rng.randint(0, 512, 250),
+                           rng.randint(mp - 512, mp, 250)])
+    gcols, local, blk, lt, g, meta = ds.build_dstream_ranges(
+        rows, cols, mp, pad_col=mp, num_ranges=2, range_rows=2048)
+    x = rng.randn(mp, 128).astype(np.float32)
+    out0 = np.zeros((mp, 128), np.float32)
+
+    class _Plan:
+        ds_group = g
+        ds_meta = meta
+
+    got = np.asarray(ds.dstream_spill(
+        dict(ds_gcols=jnp.asarray(gcols), ds_local=jnp.asarray(local),
+             ds_blk=jnp.asarray(blk), ds_lt=jnp.asarray(lt)),
+        jnp.asarray(x), jnp.asarray(out0), _Plan))
+    ref = np.zeros_like(out0)
+    np.add.at(ref, rows, x[cols])
+    scale = np.abs(ref).max() + 1e-9
+    assert np.abs(got - ref).max() / scale < 1e-5
+
+
+def test_blocked_plan_end_to_end_matches_oracle():
+    """A plan whose activation table exceeds ds_table_mb builds the
+    blocked layout and still matches the dense oracle (interpret)."""
+    from hcspmm_tpu.config import PlanConfig
+    from hcspmm_tpu.ops.spmm import HybridSpMM, spmm_reference_dense
+    from hcspmm_tpu.graphs import io
+
+    src, dst, n = io.synthetic_powerlaw(6000, 4.0, seed=3)
+    rp, ci = io.to_csr(src, dst, n)
+    cfg = PlanConfig(impl="pallas", band_h=256, band_mode="auto",
+                     spill_impl="dstream", compute_dtype="float32",
+                     ds_table_mb=0.5, ds_blocked_min_edges=1,
+                     dstream_min_edges_per_tile=0)
+    op = HybridSpMM(rp, ci, n, cfg)
+    if op.plan.ds_meta is None:
+        pytest.skip("plan routed no edges to dstream spill")
+    assert len(op.plan.ds_meta["r0"]) > 1
+    x = np.random.RandomState(0).randn(n, 40).astype(np.float32)
+    z = np.asarray(jax.jit(op)(x))
+    zref = spmm_reference_dense(rp, ci, n, x)
+    scale = np.abs(zref).max() + 1e-9
+    assert np.abs(z - zref).max() / scale < 5e-4
+
+
+def test_bstream_merge_matches_scatter_add():
+    """Block-wide chunks (build_bstream): merge == global scatter-add,
+    including multi-chunk blocks and block revisits."""
+    rng = np.random.RandomState(11)
+    mp = 4096
+    rows, cols = _sorted_edges(rng, 2500, mp, mp)
+    gcols, local, blk, g = ds.build_bstream(rows, cols, mp, pad_col=mp)
+    assert (np.diff(blk) >= 0).all()
+    x = rng.randn(mp, 128).astype(np.float32)
+    out0 = rng.randn(mp, 128).astype(np.float32)
+    got = np.asarray(ds.bstream_merge(
+        jnp.asarray(gcols), jnp.asarray(local), jnp.asarray(blk),
+        jnp.asarray(x), jnp.asarray(out0), group=g))
+    ref = out0.copy()
+    np.add.at(ref, rows, x[cols])
+    scale = np.abs(ref).max() + 1e-9
+    assert np.isfinite(got).all()
+    assert np.abs(got - ref).max() / scale < 1e-5
+
+
+def test_bstream_low_density_and_oob_pad():
+    """Sparse edges (1-2 per block) + pad_col == len(x) (clip mode)."""
+    rng = np.random.RandomState(12)
+    mp = 8192
+    rows = np.sort(rng.choice(mp, size=40, replace=False))
+    cols = rng.randint(0, mp, size=40)
+    gcols, local, blk, g = ds.build_bstream(rows, cols, mp, pad_col=mp)
+    assert (gcols >= mp).any()
+    x = rng.randn(mp, 128).astype(np.float32)
+    out0 = np.zeros((mp, 128), np.float32)
+    got = np.asarray(ds.bstream_merge(
+        jnp.asarray(gcols), jnp.asarray(local), jnp.asarray(blk),
+        jnp.asarray(x), jnp.asarray(out0), group=g))
+    ref = np.zeros_like(out0)
+    np.add.at(ref, rows, x[cols])
+    assert np.isfinite(got).all()
+    assert np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9) < 1e-5
+
+
+def test_bstream_plan_end_to_end_matches_oracle():
+    """A low-tile-density plan routes to ds_kind='block' and matches the
+    dense oracle end-to-end (interpret)."""
+    from hcspmm_tpu.config import PlanConfig
+    from hcspmm_tpu.ops.spmm import HybridSpMM, spmm_reference_dense
+    from hcspmm_tpu.graphs import io
+
+    src, dst, n = io.synthetic_powerlaw(6000, 4.0, seed=3)
+    rp, ci = io.to_csr(src, dst, n)
+    cfg = PlanConfig(impl="pallas", band_h=256, band_mode="auto",
+                     spill_impl="dstream", compute_dtype="float32",
+                     dstream_min_edges_per_tile=10_000,
+                     bstream_min_edges_per_block=1)
+    op = HybridSpMM(rp, ci, n, cfg)
+    if op.plan.ds_blk is None or op.plan.ds_kind != "block":
+        pytest.skip("plan routed no edges to the block-wide merge")
+    x = np.random.RandomState(0).randn(n, 40).astype(np.float32)
+    z = np.asarray(jax.jit(op)(x))
+    zref = spmm_reference_dense(rp, ci, n, x)
+    scale = np.abs(zref).max() + 1e-9
+    assert np.abs(z - zref).max() / scale < 5e-4
