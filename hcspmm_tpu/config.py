@@ -147,15 +147,11 @@ class PlanConfig:
     # Pallas band plans only (shard/caps plans and sliced-output call
     # sites fall back to 'take', which is always built alongside).
     spill_impl: str = "dstream"
-    # Minimum spill edges per touched 128-row destination tile for the
-    # dstream merge to beat take's per-edge cost.  dstream's chunks are
-    # destination-tile-pure, so its gather reads chunks*128 rows: at
-    # fill f = edges/(128*tiles) the take stream inflates ~1/f.  Round-3
-    # hardware (artifacts/round3_hw.jsonl): powerlaw at 440 edges/tile
-    # wins 3.2x; the RD stand-in at 59 edges/tile LOSES (21.6 vs
-    # 17.4 ms) — the padding gathers outweigh the merge win.  128 puts
-    # the crossover between those measurements.
-    dstream_min_edges_per_tile: int = 128
+    # Streamed-merge layout: 'auto' picks tile-pure chunks, block-wide
+    # chunks, or the take+segsum path from exact host-side chunk counts
+    # and measured per-row/dot/step constants (format.plan); 'tile' /
+    # 'block' / 'take' force a layout (tests, ablations).
+    ds_kind: str = "auto"
     # Column-range blocking of the dstream gather (kernels/dstream.py
     # build_dstream_ranges): when the activation table exceeds this many
     # MB, spill edges are partitioned by column range and each range
@@ -168,11 +164,14 @@ class PlanConfig:
     # Minimum spill edges for blocking to engage (the slice streams cost
     # ~X bytes once; below this the per-edge win cannot repay it).
     ds_blocked_min_edges: int = 100_000
-    # Minimum spill edges per touched G*128-row destination BLOCK for
-    # the block-wide-chunk merge (kernels/dstream.py build_bstream) to
-    # engage when the per-tile density gate fails: each touched block
-    # pays ~2x G*128 x dp of R/W.
-    bstream_min_edges_per_block: int = 192
+    # Spill gather dtype: 'auto' casts a bf16 activation table to f32
+    # before the take when the spill population is large enough to repay
+    # the cast stream (probe: bf16 rows gather 5.8 ns vs f32 4.0 —
+    # sub-word relayout; artifacts/round3_hw.jsonl take_parallel).
+    # True/False force it.
+    ds_gather_f32: "bool | str" = "auto"
+    ds_gather_f32_min_edges: int = 400_000
+    ds_gather_f32_min_table_mb: float = 192.0
     # Band-block compute wall: int8->bf16 convert + MXU dot seconds per
     # A ELEMENT (v5e measured: DD's 214M-element band ~450 us compute-
     # bound, docs/ROADMAP.md) — prices wide low-occupancy bands.

@@ -157,6 +157,8 @@ class ExecutionPlan:
     #   metadata, NOT a device array
     ds_kind: str = "tile"                  # 'tile' = dstream (tile-pure
     #   chunks); 'block' = bstream (block-wide chunks, low-density fix)
+    ds_gather_f32: bool = False            # cast bf16 X to f32 before the
+    #   spill gather (f32 rows gather ~45% faster; config.ds_gather_f32)
 
     # ---- banded (MXU block-band) path: one entry per band-width bucket ----
     band_h: int = 16                          # superwindow height (rows)
@@ -1248,24 +1250,55 @@ def build_plan(
             # path's per-edge cost is cheaper (measured: DD's 1865
             # scattered spill edges cost +107 us under dstream while
             # powerlaw's 440 edges/tile run 2.8x faster)
-            ds_dense_enough = spill_nnz and (
-                spill_nnz >= config.dstream_min_edges_per_tile
-                * len(np.unique(sp_rows_e >> 7)))
+            # ---- streamed-merge layout choice (tile vs block vs take) ----
+            # Exact chunk counts are host-computable, so the choice is a
+            # measured-constant cost model, not a threshold: gathered
+            # rows = chunks*128 (the padding gathers are real HBM reads,
+            # round-3 campaign), one one-hot dot per chunk ([128,128] for
+            # tile-pure chunks, [G*128,128] for block-wide), plus the
+            # grid-step floor and the per-touched-block R/W.
             ds_kind = "tile"
-            if (spill_nnz and not ds_dense_enough
-                    and config.spill_impl == "dstream"):
-                # low edges-per-tile (tile-pure chunks would gather
-                # ~1/fill padding rows): fall back to BLOCK-wide chunks
-                # (kernels/dstream.py build_bstream) when the per-BLOCK
-                # density still amortizes the destination-block R/W
+            ds_dense_enough = False
+            if spill_nnz and config.spill_impl == "dstream" \
+                    and (num_sw * bh) % 128 == 0:
                 from hcspmm_tpu.kernels.dstream import pick_group as _pg
 
-                _g = _pg(num_sw * bh) if (num_sw * bh) % 128 == 0 else 1
-                blocks_t = len(np.unique(sp_rows_e // (_g * 128)))
-                if (_g > 1 and spill_nnz
-                        >= config.bstream_min_edges_per_block * blocks_t):
-                    ds_kind = "block"
-                    ds_dense_enough = True
+                _g = _pg(num_sw * bh)
+                tiles_cnt = np.bincount(sp_rows_e >> 7)
+                tiles_cnt = tiles_cnt[tiles_cnt > 0]
+                blk_cnt = np.bincount(sp_rows_e // (_g * 128))
+                blk_cnt = blk_cnt[blk_cnt > 0]
+                chunks_t = int((-(-tiles_cnt // 128)).sum())
+                chunks_b = int((-(-blk_cnt // 128)).sum())
+                # constants calibrated on the round-3 kind A/Bs
+                # (artifacts/round3_hw.jsonl ab_kind: TT block 24.2 ms
+                # vs tile 31.7 vs take 44.0; RD block 10.2): ~8 ns per
+                # gathered row (f32 cast table at these sizes), ~0.15 us
+                # per grid step
+                g_s = 8e-9
+                dot_s = 128 * 128 * 128 * 2 / 150e12  # [128,128]@[128,dp]
+                floor_s = 0.15e-6
+                blk_rw = 2 * _g * 128 * dnom * xbytes / bw_s
+                cost_tile = (chunks_t * 128 * g_s + chunks_t * dot_s
+                             + (-(-chunks_t // _g)) * floor_s
+                             + len(blk_cnt) * blk_rw)
+                cost_block = (chunks_b * 128 * g_s
+                              + chunks_b * dot_s * _g
+                              + chunks_b * floor_s
+                              + len(blk_cnt) * blk_rw) \
+                    if _g > 1 else np.inf
+                # take path: exact-count gather + XLA segsum + scatter
+                # (measured 7.5 + 13.7 ns/row, artifacts/round2_hw.jsonl)
+                cost_take = spill_nnz * (g_s + 21e-9) \
+                    if spill_nnz > 4096 else 0.0
+                # tiny spill: take's fixed chain beats any kernel launch
+                # (spill_fixed_s covers the shape choice upstream)
+                best_k = min((cost_tile, "tile"), (cost_block, "block"),
+                             (cost_take, "take"))
+                ds_kind = best_k[1]
+                if config.ds_kind != "auto":
+                    ds_kind = config.ds_kind
+                ds_dense_enough = ds_kind != "take"
             if (config.spill_impl == "dstream" and ds_dense_enough
                     and config.impl == "pallas" and band_widths
                     and (num_sw * bh) % 128 == 0
@@ -1295,8 +1328,10 @@ def build_plan(
                     # stand-in (artifacts/round3_hw.jsonl) — require
                     # the same density gate per range
                     tiles_t = max(len(np.unique(sp_rows_e >> 7)), 1)
-                    if (spill_nnz / (n_rng * tiles_t)
-                            < config.dstream_min_edges_per_tile):
+                    if spill_nnz / (n_rng * tiles_t) < 128:
+                        # measured crossover: below ~128 edges per
+                        # (range, tile) the split's padding gathers
+                        # outweigh the small-table rate (round-3 A/B)
                         n_rng = 1
                 if ds_kind == "block":
                     from hcspmm_tpu.kernels.dstream import build_bstream
@@ -1314,10 +1349,21 @@ def build_plan(
                     ds_g, ds_l, ds_b, ds_t, ds_grp = build_dstream(
                         sp_rows_e, sp_cols_e, mp, pad_col=c)
                     ds_m = None
+                # f32-cast gather only pays when the table is big
+                # enough to sit in the slow-gather regime (bf16 from an
+                # 86 MB table measured 2-2.6 ns/row — casting there COST
+                # 2.3x end-to-end on powerlaw, artifacts round-3) and the
+                # spill is large enough to repay the cast stream
+                gf32_auto = (config.compute_dtype == "bfloat16"
+                             and spill_nnz >= config.ds_gather_f32_min_edges
+                             and tbl_mb >= config.ds_gather_f32_min_table_mb)
                 spill_fields.update(
                     ds_gcols=ds_g, ds_local=ds_l, ds_blk=ds_b, ds_lt=ds_t,
                     ds_group=ds_grp, ds_rows=mp, ds_meta=ds_m,
-                    ds_kind=ds_kind)
+                    ds_kind=ds_kind,
+                    ds_gather_f32=(gf32_auto
+                                   if config.ds_gather_f32 == "auto"
+                                   else bool(config.ds_gather_f32)))
 
     # -------------------- tiled band pair stream --------------------
     tiled_fields = {}

@@ -222,9 +222,12 @@ def _bstream_kernel(blk_ref, local_ref, gath_ref, prev_ref, out_ref,
         out_ref[...] = acc_ref[...].astype(out_dtype)
 
 
-def bstream_merge(gcols, local, blk, xsrc, out, *, group: int):
+def bstream_merge(gcols, local, blk, xsrc, out, *, group: int,
+                  gather_f32: bool = False):
     """``out + scatter-add of xsrc[gcols] by destination``, block-wide
     chunks (build_bstream).  Same contract as dstream_merge."""
+    if gather_f32 and xsrc.dtype != jnp.float32:
+        xsrc = xsrc.astype(jnp.float32)
     m, dp = out.shape
     assert m % (group * 128) == 0, (m, group)
     c = gcols.shape[0] // 128
@@ -374,12 +377,22 @@ def _dstream_kernel(blk_ref, lt_ref, local_ref, gath_ref, prev_ref, out_ref,
         out_ref[...] = acc_ref[...].astype(out_dtype)
 
 
-def dstream_merge(gcols, local, blk, lt, xsrc, out, *, group: int):
+def dstream_merge(gcols, local, blk, lt, xsrc, out, *, group: int,
+                  gather_f32: bool = False):
     """``out + scatter-add of xsrc[gcols] by destination`` with the merge
     running as the streamed Pallas kernel.  ``out`` rows must be a
     multiple of group*128 and every blk must index inside it; ``out`` is
     donated (aliased) — untouched destination blocks keep its contents.
+
+    ``gather_f32``: cast a bf16 source to f32 BEFORE the gather.  The
+    probe (artifacts/round3_hw.jsonl take_parallel) measured bf16 row
+    gathers 45% slower than f32 (sub-word relayout, 5.8 vs 4.0 ns/row);
+    on large spill populations the one-time cast stream costs less than
+    the per-row penalty, and the f32 path also makes the one-hot merge
+    exact (HIGHEST precision).
     """
+    if gather_f32 and xsrc.dtype != jnp.float32:
+        xsrc = xsrc.astype(jnp.float32)
     m, dp = out.shape
     assert m % (group * 128) == 0, (m, group)
     c = gcols.shape[0] // 128
@@ -433,15 +446,16 @@ def dstream_spill(arrs, xsrc, out, plan):
     the ranges: each materializes a contiguous X slice (sequential copy)
     and merges through the aliased output — the take gathers run against
     small tables at the fast page-local rate."""
+    gf32 = bool(getattr(plan, "ds_gather_f32", False))
     if getattr(plan, "ds_kind", "tile") == "block":
         return bstream_merge(arrs["ds_gcols"], arrs["ds_local"],
                              arrs["ds_blk"], xsrc, out,
-                             group=plan.ds_group)
+                             group=plan.ds_group, gather_f32=gf32)
     meta = getattr(plan, "ds_meta", None)
     if meta is None:
         return dstream_merge(arrs["ds_gcols"], arrs["ds_local"],
                              arrs["ds_blk"], arrs["ds_lt"], xsrc, out,
-                             group=plan.ds_group)
+                             group=plan.ds_group, gather_f32=gf32)
     rr = int(meta["range_rows"])
     g = plan.ds_group
     steps, chunks, lrows, r0 = (meta["steps"], meta["chunks"],

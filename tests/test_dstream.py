@@ -113,7 +113,7 @@ def test_spill_impl_dstream_padded_e2e():
               band_widths=(256,), band_mode="auto")
     op_t = HybridSpMM(rp, ci, n, PlanConfig(spill_impl="take", **kw))
     op_d = HybridSpMM(rp, ci, n, PlanConfig(
-        spill_impl="dstream", dstream_min_edges_per_tile=1, **kw))
+        spill_impl="dstream", ds_kind="tile", **kw))
     assert op_t.plan.spill_nnz > 0
     assert op_d.plan.ds_blk is not None and op_t.plan.ds_blk is None
     assert "ds_blk" in op_d.arrays["f"]
@@ -246,8 +246,8 @@ def test_blocked_plan_end_to_end_matches_oracle():
     rp, ci = io.to_csr(src, dst, n)
     cfg = PlanConfig(impl="pallas", band_h=256, band_mode="auto",
                      spill_impl="dstream", compute_dtype="float32",
-                     ds_table_mb=0.5, ds_blocked_min_edges=1,
-                     dstream_min_edges_per_tile=0)
+                     ds_table_mb=1.6, ds_blocked_min_edges=1,
+                     ds_kind="tile")
     op = HybridSpMM(rp, ci, n, cfg)
     if op.plan.ds_meta is None:
         pytest.skip("plan routed no edges to dstream spill")
@@ -309,8 +309,7 @@ def test_bstream_plan_end_to_end_matches_oracle():
     rp, ci = io.to_csr(src, dst, n)
     cfg = PlanConfig(impl="pallas", band_h=256, band_mode="auto",
                      spill_impl="dstream", compute_dtype="float32",
-                     dstream_min_edges_per_tile=10_000,
-                     bstream_min_edges_per_block=1)
+                     ds_kind="block")
     op = HybridSpMM(rp, ci, n, cfg)
     if op.plan.ds_blk is None or op.plan.ds_kind != "block":
         pytest.skip("plan routed no edges to the block-wide merge")

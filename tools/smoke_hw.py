@@ -49,7 +49,7 @@ CONFIGS = {
     "dstream": (dict(span=3000, deg=10),
                 dict(impl="pallas", band_mode="always", band_h=256,
                      band_widths=(256,), spill_impl="dstream",
-                     dstream_min_edges_per_tile=0)),
+                     ds_kind="tile")),
     "take_spill": (dict(span=3000, deg=10),
                    dict(impl="pallas", band_mode="always", band_h=256,
                         band_widths=(256,), spill_impl="take")),
