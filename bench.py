@@ -87,6 +87,12 @@ def main() -> int:
     from hcspmm_tpu.graphs import io
     from hcspmm_tpu.ops.spmm import HybridSpMM
 
+    # one-time Python imports (jax.experimental.pallas is ~2.5 s) happen
+    # before the prep timer: prep_s measures graph preprocessing (plan
+    # build + device upload), not interpreter warm-up
+    import hcspmm_tpu.kernels.block_spmm  # noqa: F401
+    import hcspmm_tpu.kernels.dstream  # noqa: F401
+
     t0 = time.perf_counter()
     if graph == "blocks":
         src, dst, nn = io.synthetic_blocks(nodes, degree, block, seed=7)
