@@ -1270,16 +1270,34 @@ def build_plan(
                 blk_cnt = blk_cnt[blk_cnt > 0]
                 chunks_t = int((-(-tiles_cnt // 128)).sum())
                 chunks_b = int((-(-blk_cnt // 128)).sum())
-                # constants calibrated on the round-3 kind A/Bs
-                # (artifacts/round3_hw.jsonl ab_kind: TT block 24.2 ms
-                # vs tile 31.7 vs take 44.0; RD block 10.2): ~8 ns per
-                # gathered row (f32 cast table at these sizes), ~0.15 us
-                # per grid step
-                g_s = 8e-9
+                # constants refit on the round-3 continuation A/Bs
+                # (artifacts/round3_hw.jsonl ab_kind, post pad-self-fetch
+                # fix): gather ~4 ns/row from tables under the
+                # ds_table_mb page-locality wall, ~8 ns above it
+                # (take_vs_table probe: 3.9 @ 102 MB vs 8.6 @ 1.2 GB);
+                # the refit reproduces every measured ordering — block
+                # wins DD/YS/RD/TT, tile wins powerlaw (high fill +
+                # small table), take never wins above the tiny-spill
+                # floor (YS measured take +1.4 ms over block at only
+                # 45k edges: the XLA segsum+scatter chain carries a
+                # ~1.2 ms fixed cost)
+                el_b = 2 if config.compute_dtype == "bfloat16" else 4
+                _tbl_mb = num_sw * bh * 128 * el_b / 1e6
+                g_s = 8e-9 if _tbl_mb > config.ds_table_mb else 4e-9
                 dot_s = 128 * 128 * 128 * 2 / 150e12  # [128,128]@[128,dp]
                 floor_s = 0.15e-6
                 blk_rw = 2 * _g * 128 * dnom * xbytes / bw_s
-                cost_tile = (chunks_t * 128 * g_s + chunks_t * dot_s
+                # tile-pure chunks in the blocked-gather regime split
+                # every tile's edges across column ranges: measured
+                # ~1.3x more padding gathers (TT tile 30.1 vs block
+                # 24.2 ms; the downstream n_rng gate mirrors this)
+                tiles_u = max(len(np.unique(sp_rows_e >> 7)), 1)
+                chunks_t_eff = chunks_t
+                if (_tbl_mb > config.ds_table_mb
+                        and spill_nnz >= config.ds_blocked_min_edges
+                        and spill_nnz / (2 * tiles_u) >= 128):
+                    chunks_t_eff = int(chunks_t * 1.3)
+                cost_tile = (chunks_t_eff * 128 * g_s + chunks_t * dot_s
                              + (-(-chunks_t // _g)) * floor_s
                              + len(blk_cnt) * blk_rw)
                 cost_block = (chunks_b * 128 * g_s
@@ -1289,7 +1307,8 @@ def build_plan(
                     if _g > 1 else np.inf
                 # take path: exact-count gather + XLA segsum + scatter
                 # (measured 7.5 + 13.7 ns/row, artifacts/round2_hw.jsonl)
-                cost_take = spill_nnz * (g_s + 21e-9) \
+                # + the chain's measured fixed cost (YS ab_kind)
+                cost_take = spill_nnz * 25e-9 + 1.2e-3 \
                     if spill_nnz > 4096 else 0.0
                 # tiny spill: take's fixed chain beats any kernel launch
                 # (spill_fixed_s covers the shape choice upstream)

@@ -116,6 +116,17 @@ def build_dstream(rows: np.ndarray, cols: np.ndarray, padded_rows: int,
         pos_e = chunk_pos[chunk_of]
         gcols[pos_e * 128 + slot] = cols.astype(np.int32)
         local[pos_e, slot] = (rows & 127).astype(np.int32)
+        # pad slots re-fetch their chunk's FIRST row instead of a fixed
+        # far-away pad row: the padding gathers are real HBM reads
+        # (24-36% of the gather stream on low-fill graphs) and a repeat
+        # of an already-open page is far cheaper than a cold row.  The
+        # sentinel local row zeroes their one-hot contribution either
+        # way, so any index is correct.  Chunks with no real edge (the
+        # per-block group padding) keep pad_col.
+        gv = gcols.reshape(c_cap, 128)
+        csz = np.bincount(pos_e, minlength=c_cap)
+        padm = np.arange(128)[None, :] >= csz[:, None]
+        gv[:] = np.where(padm, gv[:, :1], gv)
         lt[chunk_pos] = (chunk_tile % group).astype(np.int32)
         # padding chunks inside a block keep lt=0 (their one-hot is zero)
         blk = np.repeat(ub, mb // group).astype(np.int32)
@@ -181,6 +192,13 @@ def build_bstream(rows: np.ndarray, cols: np.ndarray, padded_rows: int,
         gcols[chunk_of * 128 + slot] = cols.astype(np.int32)
         local[chunk_of, slot] = (rows % span).astype(np.int32)
         blk = blko[newc].astype(np.int32)
+        # pad slots re-fetch the chunk's first row (see build_dstream):
+        # repeat-page gathers are much cheaper than a cold pad row, and
+        # the sentinel local zeroes their contribution regardless
+        gv = gcols.reshape(c, 128)
+        csz = np.bincount(chunk_of, minlength=c)
+        padm = np.arange(128)[None, :] >= csz[:, None]
+        gv[:] = np.where(padm, gv[:, :1], gv)
     else:
         c = 1
         gcols = np.full(c * 128, pad_col, dtype=np.int32)

@@ -36,8 +36,12 @@ def test_build_dstream_layout():
     assert (np.sort(gdst[valid]) == rows).all()
     # valid slots' gather cols multiset == input cols (order: dst-sorted)
     assert sorted(gcols[valid]) == sorted(cols)
-    # padding slots carry the pad col and sentinel local
-    assert (gcols[~valid] == 2048).all()
+    # padding slots re-fetch their chunk's first real col (repeat-page
+    # gather, near-free) — or pad_col for all-padding group chunks
+    gv = gcols.reshape(c, 128)
+    first = gv[:, 0]
+    padslots = ~valid.reshape(c, 128)
+    assert (np.where(padslots, first[:, None], gv) == gv).all()
     # no chunk straddles a 128-row dst tile
     for ci_ in range(c):
         m_ = local[ci_] < 128
@@ -162,11 +166,15 @@ def test_dstream_merge_oob_pad_col():
     the round-2 'ring kernel NaN' was actually this."""
     rng = np.random.RandomState(5)
     mp = 2048
-    rows, cols = _sorted_edges(rng, 900, mp, mp)
-    rows = np.sort(rows)
-    # pad_col == mp == len(x): every padding slot gathers out of bounds
+    # concentrate rows in 3 tiles of one destination block so the G-per-
+    # step grouping inserts all-padding chunks (the only slots that still
+    # carry pad_col now that per-chunk pads re-fetch the chunk's first
+    # real col)
+    rows = np.sort(rng.randint(0, 384, size=900))
+    cols = rng.randint(0, mp, size=900)
+    # pad_col == mp == len(x): every group-pad slot gathers out of bounds
     gcols, local, blk, lt, g = ds.build_dstream(rows, cols, mp, pad_col=mp)
-    assert (gcols >= mp).any(), "test needs at least one padding slot"
+    assert (gcols >= mp).any(), "test needs at least one padding chunk"
     x = rng.randn(mp, 128).astype(np.float32)
     out0 = rng.randn(mp, 128).astype(np.float32)
     got = np.asarray(ds.dstream_merge(
@@ -286,7 +294,10 @@ def test_bstream_low_density_and_oob_pad():
     rows = np.sort(rng.choice(mp, size=40, replace=False))
     cols = rng.randint(0, mp, size=40)
     gcols, local, blk, g = ds.build_bstream(rows, cols, mp, pad_col=mp)
-    assert (gcols >= mp).any()
+    # bstream chunks always hold >=1 real edge, so every pad slot now
+    # re-fetches its chunk's first real col: no OOB gathers remain
+    assert (gcols < mp).all()
+    assert (np.sort(np.unique(gcols)) == np.sort(np.unique(cols))).all()
     x = rng.randn(mp, 128).astype(np.float32)
     out0 = np.zeros((mp, 128), np.float32)
     got = np.asarray(ds.bstream_merge(
