@@ -122,7 +122,21 @@ class PlanConfig:
     # fetched ONCE per sweep instead of once per overlapping band, and A
     # skips tiles outside the superwindow's extent).  'tiled' requires
     # band_h % 128 == 0 and square plans; others fall back to 'wide'.
+    # 'tband' = TRANSPOSED band (kernels/tband.py): activations carried
+    # as X^T [dim, M] and each superwindow computes
+    # Y^T[:, R:R+bh] = X^T[:, S:S+W] @ A_t[W, bh] — the dim<=64 fast
+    # path (the reference's `..._hybrid_32/64` analog): 4x fewer MACs at
+    # dim 32, X/out streams dim/128 of the padded layout (measured
+    # 306-394 us vs wide 522-702 at DD/dim32, tools/ab_tband.py).
+    # Square pallas plans only; the padded layout becomes [dt, M].
     band_impl: str = "wide"
+    # Device A_t encoding for 'tband': 1 = int8 (1 B/element), 2 = nibble
+    # (output-lane groups 0-127/128-255 share a byte; in-kernel unpack =
+    # two constant shifts + one tile-aligned concat), 8 = 1-bit along the
+    # contraction axis (8 shift+mask passes — measured unpack-compute-
+    # bound at DD, kept for re-testing).  Nibble halves the A stream,
+    # the dominant band-path bytes at low occupancy.
+    tband_pack: int = 1
     # X-tile ring slots for band_impl='tiled' (VMEM: slots * 128 * dp * 2B)
     band_tile_slots: int = 16
     # ---- band+spill: robust band windows on non-bandable graphs ----

@@ -187,6 +187,11 @@ class ExecutionPlan:
     #   VMEM row; band starts stay in ORIGINAL columns (16*fold-aligned),
     #   A blocks keep their natural [Sb, bh, Bb] layout (see
     #   kernels.block_spmm._band_body_deep)
+    tband: bool = False  # transposed band (config.band_impl='tband',
+    #   kernels/tband.py): device arrays carry band{s}_at [Sb, W, bh]
+    #   (possibly packed) instead of band{s}_a; starts are 128-aligned;
+    #   the padded activation layout is X^T [dt, M]
+    tband_pack: int = 1  # A_t device encoding: 1 int8 / 2 nibble / 8 bit
     shard_uniform: bool = False  # proxy plan standing in for N capacity-
     #   padded shard plans under one shard_map trace: kernel dispatch may
     #   consult only capacity shapes (never per-shard real counts), and
@@ -282,6 +287,18 @@ class ExecutionPlan:
             a[e[:, 0], e[:, 1], e[:, 2]] = 1
         return a
 
+    def band_at_dense(self, s: int) -> np.ndarray:
+        """TRANSPOSED dense int8 band blocks [Sb, Bb, band_h] for bucket
+        ``s`` (plan.tband layout: contraction axis first, output rows on
+        lanes — kernels/tband.py)."""
+        sb = self.band_starts[s].shape[0]
+        bb = int(self.band_widths[s])
+        a = np.zeros((sb, bb, self.band_h), dtype=np.int8)
+        e = self.band_edges[s]
+        if len(e):
+            a[e[:, 0], e[:, 2], e[:, 1]] = 1
+        return a
+
     @property
     def band_capacities(self) -> Tuple[int, ...]:
         return tuple(s.shape[0] for s in self.band_starts)
@@ -350,7 +367,17 @@ class ExecutionPlan:
             d["band_missing_sw"] = self.band_missing_sw
         for s in range(len(self.band_widths)):
             d[f"band{s}_start"] = self.band_starts[s]
-            if dense_band and not self.tiled:
+            if self.tband:
+                if dense_band:
+                    at = self.band_at_dense(s)
+                    if self.tband_pack == 2 and at.size:
+                        from hcspmm_tpu.kernels.tband import pack_a_nibble
+                        at = pack_a_nibble(at)
+                    elif self.tband_pack == 8 and at.size:
+                        from hcspmm_tpu.kernels.tband import pack_a_bits
+                        at = pack_a_bits(at)
+                    d[f"band{s}_at"] = at
+            elif dense_band and not self.tiled:
                 a = self.band_a_dense(s)
                 if self.band_fold > 1 and a.size:
                     # folded-layout A permutation (kernels/block_spmm
@@ -636,6 +663,22 @@ def build_plan(
                 f"band widths must be multiples of {16 * fold} "
                 f"(band_fold={fold})")
     al = 16 * fold  # band-start alignment in original columns
+    tband = bool(band_widths) and config.band_impl == "tband"
+    if tband:
+        # transposed band (kernels/tband.py): X^T lane slices need
+        # 128-aligned starts; A_t blocks are [W, bh] with bh on lanes
+        if config.impl != "pallas":
+            raise ValueError("band_impl='tband' requires impl='pallas'")
+        if fold > 1:
+            raise ValueError("band_impl='tband' excludes band_fold > 1 "
+                             "(the transposed layout replaces folding)")
+        if num_cols != num_nodes:
+            raise ValueError("band_impl='tband' requires square plans")
+        if bh % 128:
+            raise ValueError("band_impl='tband' requires band_h % 128 == 0")
+        if int(getattr(config, "tband_pack", 1)) not in (1, 2, 8):
+            raise ValueError("tband_pack must be 1, 2 or 8")
+        al = 128
     num_sw = (n + bh - 1) // bh if band_widths else 0
     if band_widths and config.impl == "pallas":
         # Pallas band widths have a 128-column floor (lane tile); the
@@ -864,6 +907,37 @@ def build_plan(
                         if tot < min(best[0], 0.85 * best_single):
                             best = (tot, (w_lo, w_hi))
                 band_widths = best[1]
+                if al > 16 and len(band_widths) == 1:
+                    # Alignment-aware refinement (tband, al=128): the
+                    # quantile coverage assumed 16-aligned placement; at
+                    # coarser alignment a tight width can leave a tiny
+                    # REAL spill whose fixed dispatch cost (spill_fixed)
+                    # dwarfs one more 128-column slab.  Compare exact
+                    # placements of W and W+128.
+                    w0 = int(band_widths[0])
+                    cands2 = tuple(w for w in (w0, w0 + 128) if w <= W_CAP)
+                    if len(cands2) == 2:
+                        if _nat:
+                            cov2 = _w.native_band_place(
+                                rp64, column_index, n, bh, al, cands2
+                            )[0][:, ne]
+                        else:
+                            cov2 = np.zeros((2, len(ne)), dtype=np.int64)
+                            for b2, wb2 in enumerate(cands2):
+                                cov2[b2], _ = _place_band_windows(
+                                    keys, starts_ne, int(wb2), align=al)
+                        tots = []
+                        for b2, wb2 in enumerate(cands2):
+                            band_s2 = max(
+                                (bh * wb2 + wb2 * dnom * xbytes) / bw_s,
+                                bh * wb2 * a_elem_s)
+                            per2 = np.minimum(
+                                band_s2 + (E_ne - cov2[b2]) * g_ns,
+                                sparse_cost[ne])
+                            unc2 = float((E_ne - cov2[b2]).sum())
+                            tots.append(float(per2.sum())
+                                        + (spill_fixed if unc2 > 0 else 0.0))
+                        band_widths = (cands2[int(np.argmin(tots))],)
                 caps_s = (0,) * len(band_widths)
                 xp_rows = max(xp_rows, int(band_widths[-1]))
             # exact placement per ladder width; per-super bucket choice
@@ -1580,6 +1654,8 @@ def build_plan(
         band_ring=band_ring_scheds,
         band_full_cover=band_full_cover if band_widths else False,
         band_fold=fold,
+        tband=tband,
+        tband_pack=int(getattr(config, "tband_pack", 1)) if tband else 1,
         band_num_sw=num_sw if band_widths else 0,
         xp_rows=xp_rows,
         **tiled_fields,

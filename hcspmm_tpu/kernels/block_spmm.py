@@ -756,11 +756,13 @@ def spmm_fused_pallas(arrs, x, w, plan, compute_dtype):
     unfused ops instead)."""
     n, d = x.shape
     if (not plan.band_full_cover or getattr(plan, "tiled", False)
-            or getattr(plan, "band_fold", 1) > 1):
+            or getattr(plan, "band_fold", 1) > 1
+            or getattr(plan, "tband", False)):
         # tiled plans compose (tiled aggregate + XLA matmul under one
         # jit); the wide fused kernel needs the band*_a arrays; folded
         # plans compose through the folded SpMM (weights need the
-        # block-diagonal lane form — ops layer owns that)
+        # block-diagonal lane form — ops layer owns that); tband plans
+        # fuse only in the transposed padded layout (ops layer routes)
         return None
     num_sw = max(getattr(plan, 'band_num_sw', 0),
                  _cdiv(n, plan.band_h))
@@ -901,6 +903,9 @@ def _spmm_pallas_padded_folded(arrs, xf, plan, compute_dtype):
 def spmm_padded_supported(plan) -> bool:
     """True when ``spmm_pallas_padded`` can run the closed padded layout.
 
+    tband plans use the TRANSPOSED padded layout [dt, M] (kernels/tband);
+    the cover/clamp conditions below apply unchanged.
+
     Full cover: every superwindow block owned by exactly one bucket —
     single bucket -> one direct write; multi-bucket -> main-bucket direct
     write + block scatter.  PARTIAL cover also closes (round 2) when the
@@ -919,7 +924,8 @@ def spmm_padded_supported(plan) -> bool:
     # non-band edge must be additive (spill) — no row-merge populations
     if not (plan.band_widths and plan.num_cols == plan.num_nodes
             and plan.dense_nnz == 0 and plan.sparse_nnz == 0
-            and getattr(plan, "band_fold", 1) == 1):
+            and (getattr(plan, "band_fold", 1) == 1
+                 or getattr(plan, "tband", False))):
         return False
     m = plan.padded_rows
     for s, bbw in enumerate(plan.band_widths):
@@ -942,6 +948,10 @@ def spmm_pallas_padded(arrs, xp, plan, compute_dtype):
     pad/slice/merge passes — at DD scale those passes cost ~350 us on top
     of the ~800 us kernel.  Caller gate: ``spmm_padded_supported(plan)``.
     """
+    if getattr(plan, "tband", False):
+        from hcspmm_tpu.kernels.tband import spmm_tband_padded
+
+        return spmm_tband_padded(arrs, xp, plan, compute_dtype)
     if getattr(plan, "band_fold", 1) > 1:
         return _spmm_pallas_padded_folded(arrs, xp, plan, compute_dtype)
     xp = xp.astype(compute_dtype)
@@ -987,7 +997,8 @@ def spmm_fused_pallas_padded(arrs, xp, wp, plan):
     full-coverage wide plans only; returns None otherwise (callers
     compose with the padded SpMM)."""
     if (getattr(plan, "tiled", False) or not plan.band_padded_ok
-            or getattr(plan, "band_fold", 1) > 1):
+            or getattr(plan, "band_fold", 1) > 1
+            or getattr(plan, "tband", False)):
         return None
     num_sw = plan.padded_rows // plan.band_h
     nonempty = [s for s in range(len(plan.band_widths))
@@ -1015,6 +1026,10 @@ def spmm_pallas(arrs, x, plan, compute_dtype):
     # output rows = plan.num_nodes; x carries plan.num_cols(+pad) rows on
     # rectangular shard operands, so never derive row counts from x
     n, d = plan.num_nodes, x.shape[1]
+    if getattr(plan, "tband", False):
+        from hcspmm_tpu.kernels.tband import spmm_tband
+
+        return spmm_tband(arrs, x, plan, compute_dtype)
     fold = getattr(plan, "band_fold", 1)
     if fold > 1:
         # folded plans run the folded padded core with one-time glue

@@ -88,6 +88,13 @@ class SAGEConv:
         # already 128-multiples would skip the lane padding and emit a
         # non-lane-padded activation, which Mosaic rejects on real TPUs).
         padded = bool(getattr(spmm, "padded_layout", False))
+        dense = getattr(spmm, "dense", None)
+        if dense is not None:
+            # layout-owning dense update (transposed layouts have no
+            # right-multiply form — train.loop._Bound.dense)
+            hs = dense(x, params["w_self"]).astype(jnp.float32)
+            hn = dense(agg, params["w_neigh"]).astype(jnp.float32)
+            return (hs + hn).astype(x.dtype)
 
         def w(name):
             wm = params[name]

@@ -163,6 +163,24 @@ def _expand_row_bits(packed: jnp.ndarray, rows: int) -> jnp.ndarray:
     return ((rep >> shifts) & 1).astype(jnp.int8)
 
 
+@functools.partial(jax.jit, static_argnums=1)
+def _tband_pack_dev(a8: jnp.ndarray, pack: int) -> jnp.ndarray:
+    """Device-side re-pack of an unpacked int8 A_t [Sb, W, bh] into the
+    tband kernel's stored form (kernels.tband pack_a_nibble/pack_a_bits
+    layouts) — runs once at preprocess, after the bit-packed upload."""
+    if pack == 2:
+        h = a8.shape[2] // 2
+        return (a8[:, :, :h].astype(jnp.uint8)
+                | (a8[:, :, h:].astype(jnp.uint8) << 4))
+    if pack == 8:
+        g = a8.shape[1] // 8
+        acc = a8[:, :g, :].astype(jnp.uint8)
+        for i in range(1, 8):
+            acc = acc | (a8[:, i * g:(i + 1) * g, :].astype(jnp.uint8) << i)
+        return acc
+    return a8
+
+
 def _float0_zeros(tree):
     """float0 cotangents for integer-dtype plan arrays."""
     import jax.dtypes
@@ -228,7 +246,9 @@ def make_spmm_padded(
     if not (spmm_padded_supported(plan) and spmm_padded_supported(pb)
             and pb.padded_rows == plan.padded_rows
             and getattr(pb, "band_fold", 1)
-            == getattr(plan, "band_fold", 1)):
+            == getattr(plan, "band_fold", 1)
+            and getattr(pb, "tband", False)
+            == getattr(plan, "tband", False)):
         return None
     cd = _dtype(compute_dtype)
 
@@ -288,6 +308,87 @@ def _fold_dw(m128, w_shape, fold, dtype):
     return acc.astype(dtype)
 
 
+def _make_fused_ops_tband(plan, pb, cd):
+    """Fused GCN/GIN layer cores in the TRANSPOSED padded layout [dt, M]
+    (plan.tband, kernels/tband.py).  The dense update is W^T X^T (a
+    [ht, dt] @ [dt, M] dot — M on lanes keeps the MXU full), and the
+    fused kernel computes (agg^T, W-form @ agg^T) with the aggregate
+    VMEM-resident.  Weights stay UNPADDED in the params pytree."""
+    from hcspmm_tpu.kernels.tband import (spmm_tband_fused_padded,
+                                          sublane_pad)
+    from hcspmm_tpu.kernels.block_spmm import spmm_pallas_padded
+
+    def _wt(w, dint, cd_):
+        # transposed padded weight [ht, dint] = (pad W)^T
+        ht = sublane_pad(w.shape[1])
+        return jnp.pad(w.T.astype(cd_),
+                       ((0, ht - w.shape[1]), (0, dint - w.shape[0])))
+
+    def _wf(w, dint, ht, cd_):
+        # forward-form padded weight [dint, ht] (left-multiplies agg^T)
+        return jnp.pad(w.astype(cd_),
+                       ((0, dint - w.shape[0]), (0, ht - w.shape[1])))
+
+    def _dw(xt, adzt, w):
+        # contract the two transposed activations over M (lanes)
+        m = jax.lax.dot_general(
+            xt, adzt, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return m[: w.shape[0], : w.shape[1]].astype(w.dtype)
+
+    def fused(p, arrs, xt, wform):
+        res = spmm_tband_fused_padded(arrs, xt, wform, p)
+        if res is not None:
+            return res
+        agg = spmm_pallas_padded(arrs, xt, p, cd)
+        out = jnp.dot(wform, agg.astype(wform.dtype),
+                      preferred_element_type=jnp.float32).astype(xt.dtype)
+        return out, agg
+
+    @jax.custom_vjp
+    def gcn_p(arrs_f, arrs_b, xt, w):
+        h = jnp.dot(_wt(w, xt.shape[0], xt.dtype), xt,
+                    preferred_element_type=jnp.float32).astype(xt.dtype)
+        return spmm_pallas_padded(arrs_f, h, plan, cd)
+
+    def gcn_fwd(arrs_f, arrs_b, xt, w):
+        return gcn_p(arrs_f, arrs_b, xt, w), (arrs_f, arrs_b, xt, w)
+
+    def gcn_bwd(res, g):
+        arrs_f, arrs_b, xt, w = res
+        # fused backward: one kernel computes adz^T = (A dZ)^T and
+        # dX^T = W_pad @ adz^T (the Table VI analog, transposed edition)
+        wf = _wf(w, xt.shape[0], g.shape[0], g.dtype)
+        dxt, adzt = fused(pb, arrs_b, g, wf)
+        dw = _dw(xt, adzt, w)
+        return (_float0_zeros(arrs_f), _float0_zeros(arrs_b),
+                dxt.astype(xt.dtype), dw)
+
+    gcn_p.defvjp(gcn_fwd, gcn_bwd)
+
+    @jax.custom_vjp
+    def gin_p(arrs_f, arrs_b, xt, w):
+        out, _ = fused(plan, arrs_f, xt, _wt(w, xt.shape[0], xt.dtype))
+        return out
+
+    def gin_fwd(arrs_f, arrs_b, xt, w):
+        out, agg = fused(plan, arrs_f, xt, _wt(w, xt.shape[0], xt.dtype))
+        return out, (arrs_f, arrs_b, w, agg)
+
+    def gin_bwd(res, g):
+        arrs_f, arrs_b, w, agg = res
+        wf = _wf(w, agg.shape[0], g.shape[0], g.dtype)
+        daggt = jnp.dot(wf, g, preferred_element_type=jnp.float32
+                        ).astype(g.dtype)
+        dxt = spmm_pallas_padded(arrs_b, daggt, pb, cd)
+        dw = _dw(agg, g, w)
+        return (_float0_zeros(arrs_f), _float0_zeros(arrs_b),
+                dxt.astype(g.dtype), dw)
+
+    gin_p.defvjp(gin_fwd, gin_bwd)
+    return {"gcn": gcn_p, "gin": gin_p}
+
+
 def make_fused_ops_padded(
     plan: ExecutionPlan,
     plan_bwd: Optional[ExecutionPlan] = None,
@@ -308,9 +409,13 @@ def make_fused_ops_padded(
     if not (spmm_padded_supported(plan) and spmm_padded_supported(pb)
             and pb.padded_rows == plan.padded_rows
             and getattr(pb, "band_fold", 1)
-            == getattr(plan, "band_fold", 1)):
+            == getattr(plan, "band_fold", 1)
+            and getattr(pb, "tband", False)
+            == getattr(plan, "tband", False)):
         return None
     cd = _dtype(compute_dtype)
+    if getattr(plan, "tband", False):
+        return _make_fused_ops_tband(plan, pb, cd)
     fold = getattr(plan, "band_fold", 1)
 
     def _pw(w, dpin, cd_):
@@ -556,8 +661,33 @@ class HybridSpMM:
             # on device with a jitted shift-and-mask — a single fused
             # elementwise pass.  (A device-side edge scatter was tried
             # and measured ~40 s: XLA scatter of 1.7M updates serializes.)
+            tband = getattr(plan, "tband", False)
             out = {}
-            for k, v in plan.device_arrays(dense_band=True).items():
+            if tband:
+                # transposed band blocks: bit-packed upload + device
+                # expand, then re-pack on device into the kernel's stored
+                # form (int8 / nibble / bit — config.tband_pack)
+                for s in range(len(plan.band_widths)):
+                    at8 = plan.band_at_dense(s)
+                    if at8.size and at8.shape[1] % 8 == 0:
+                        packed = np.packbits(at8.view(np.uint8), axis=1,
+                                             bitorder="little")
+                        a = _expand_row_bits(jnp.asarray(packed),
+                                             at8.shape[1])
+                    else:
+                        a = jnp.asarray(at8)
+                    if plan.tband_pack in (2, 8):
+                        if at8.size:
+                            a = _tband_pack_dev(a, plan.tband_pack)
+                        else:
+                            from hcspmm_tpu.kernels.tband import (
+                                pack_a_bits, pack_a_nibble)
+
+                            a = jnp.asarray(
+                                pack_a_nibble(at8) if plan.tband_pack == 2
+                                else pack_a_bits(at8))
+                    out[f"band{s}_at"] = a
+            for k, v in plan.device_arrays(dense_band=not tband).items():
                 is_band_a = k.endswith("_a") and (
                     k.startswith("band") or k.startswith("tp")
                 )
@@ -617,6 +747,13 @@ class HybridSpMM:
         m = self.plan.padded_rows
         fold = getattr(self.plan, "band_fold", 1)
         xp = x.astype(_dtype(self.config.compute_dtype))
+        if getattr(self.plan, "tband", False):
+            # transposed padded layout [dt, M] (kernels/tband.py)
+            from hcspmm_tpu.kernels.tband import sublane_pad
+
+            dt = sublane_pad(d)
+            xt = jnp.zeros((dt, m), xp.dtype)
+            return xt.at[:d, :n].set(xp.T)
         if fold > 1:
             dsub = 128 // fold
             if d > dsub:
@@ -629,8 +766,12 @@ class HybridSpMM:
 
     def unpad_output(self, xp: jnp.ndarray, d: Optional[int] = None,
                      dtype=None) -> jnp.ndarray:
-        """Padded [M, dp] (or folded [M/fold, 128]) -> [N, d]."""
+        """Padded [M, dp] (folded [M/fold, 128], or transposed [dt, M])
+        -> [N, d]."""
         n = self.plan.num_nodes
+        if getattr(self.plan, "tband", False):
+            out = (xp[:, :n] if d is None else xp[:d, :n]).T
+            return out if dtype is None else out.astype(dtype)
         fold = getattr(self.plan, "band_fold", 1)
         if fold > 1:
             mf, dpf = xp.shape
@@ -640,7 +781,11 @@ class HybridSpMM:
 
     def _inv_lanes(self, inv, xp, fill=1.0):
         """Per-original-row scale vector broadcast into the padded (or
-        folded) activation layout; padded rows get ``fill``."""
+        folded / transposed) activation layout; padded rows get ``fill``."""
+        if getattr(self.plan, "tband", False):
+            invp = jnp.pad(inv, (0, xp.shape[1] - inv.shape[0]),
+                           constant_values=fill)
+            return invp[None, :]
         fold = getattr(self.plan, "band_fold", 1)
         rows = xp.shape[0] * fold
         invp = jnp.pad(inv, (0, rows - inv.shape[0]), constant_values=fill)
@@ -655,10 +800,30 @@ class HybridSpMM:
     def pad_weight(self, w, xp):
         """Weight in the padded (lane-padded) or folded (block-diagonal)
         form matching ``xp``'s layout (models.layers.SAGEConv and the
-        unfused layer paths use this)."""
+        unfused layer paths use this).  tband layouts have no
+        right-multiply form — use ``dense_padded`` instead."""
+        if getattr(self.plan, "tband", False):
+            raise ValueError("tband layout: use dense_padded(xp, w), the "
+                             "update is W^T @ X^T")
         if getattr(self.plan, "band_fold", 1) > 1:
             return _pad_w_fold(w, self.plan.band_fold, xp.dtype)
         return _pad_w_lane(w, xp.shape[1], xp.dtype)
+
+    def dense_padded(self, xp, w):
+        """Dense update ``X W`` in the operator's padded layout: xp @ Wpad
+        for row layouts, (pad W)^T @ xt for the transposed layout."""
+        if getattr(self.plan, "tband", False):
+            from hcspmm_tpu.kernels.tband import sublane_pad
+
+            ht = sublane_pad(w.shape[1])
+            wt = jnp.pad(w.T.astype(xp.dtype),
+                         ((0, ht - w.shape[1]),
+                          (0, xp.shape[0] - w.shape[0])))
+            return jnp.dot(wt, xp,
+                           preferred_element_type=jnp.float32
+                           ).astype(xp.dtype)
+        return jnp.dot(xp, self.pad_weight(w, xp),
+                       preferred_element_type=jnp.float32).astype(xp.dtype)
 
     def apply_padded(self, arrays, xp: jnp.ndarray) -> jnp.ndarray:
         """SpMM in the padded layout.  Falls back to the unpadded op
@@ -684,9 +849,7 @@ class HybridSpMM:
         ``apply_padded`` in normalized mode or when unsupported."""
         if self._fused_padded is not None and "inv_sqrt_deg" not in arrays:
             return self._fused_padded["gcn"](arrays["f"], arrays["b"], xp, w)
-        xw = jnp.dot(xp, self.pad_weight(w, xp),
-                     preferred_element_type=jnp.float32).astype(xp.dtype)
-        return self.apply_padded(arrays, xw)
+        return self.apply_padded(arrays, self.dense_padded(xp, w))
 
     def gin_apply_padded(self, arrays, xp: jnp.ndarray,
                          w: jnp.ndarray) -> jnp.ndarray:
@@ -694,8 +857,7 @@ class HybridSpMM:
         if self._fused_padded is not None and "inv_sqrt_deg" not in arrays:
             return self._fused_padded["gin"](arrays["f"], arrays["b"], xp, w)
         agg = self.apply_padded(arrays, xp)
-        return jnp.dot(agg, self.pad_weight(w, agg),
-                       preferred_element_type=jnp.float32).astype(agg.dtype)
+        return self.dense_padded(agg, w)
 
     def mean_apply(self, arrays, x: jnp.ndarray) -> jnp.ndarray:
         """Mean aggregation ``D^-1 A X`` (GraphSAGE's mean_N).  Uses the

@@ -93,6 +93,15 @@ def make_train_step(
             return jnp.pad(wm, ((0, x.shape[1] - wm.shape[0]),
                                 (0, dpo - wm.shape[1]))).astype(x.dtype)
 
+        def dense(self, x, wm):
+            # layout-owning dense update X W (tband layouts left-multiply
+            # the transposed weight — ops.spmm.HybridSpMM.dense_padded)
+            if padded and hasattr(spmm, "dense_padded"):
+                return spmm.dense_padded(x, wm)
+            w = self.pad_weight(wm, x) if padded else wm.astype(x.dtype)
+            return jnp.dot(x, w, preferred_element_type=jnp.float32
+                           ).astype(x.dtype)
+
     def make_bound(arrs):
         if arrays is None:
             return spmm  # plain callable
@@ -122,9 +131,14 @@ def make_train_step(
 
     def train_step(params, opt_state, x, y, rng):
         if padded:
-            fold = getattr(spmm.plan, "band_fold", 1)
-            if x.shape[0] != spmm.plan.padded_rows // fold:
-                x = spmm.pad_input(x)  # raw [N, d] (train() pre-pads)
+            if getattr(spmm.plan, "tband", False):
+                # transposed layout [dt, M]: padded iff lanes == M
+                if x.shape[1] != spmm.plan.padded_rows:
+                    x = spmm.pad_input(x)
+            else:
+                fold = getattr(spmm.plan, "band_fold", 1)
+                if x.shape[0] != spmm.plan.padded_rows // fold:
+                    x = spmm.pad_input(x)  # raw [N, d] (train() pre-pads)
         return _step(params, opt_state, arrays, x, y, rng)
 
     train_step.step_with_arrays = _step
