@@ -134,6 +134,9 @@ def main() -> int:
     spill_impl = os.environ.get("HCSPMM_BENCH_SPILL", "")
     if spill_impl:  # default: PlanConfig's (dstream)
         extra["spill_impl"] = spill_impl
+    tband_pack = int(os.environ.get("HCSPMM_BENCH_TBAND_PACK", 1))
+    if band_impl == "tband":
+        extra["tband_pack"] = tband_pack
     cfg = PlanConfig(loi_mode=mode, compute_dtype=dtype, impl=impl,
                      band_mode=band, band_impl=band_impl, **extra)
     op = HybridSpMM(rp, ci, nn, cfg)
@@ -182,7 +185,20 @@ def main() -> int:
     # roofline: bytes each population must move (A blocks + X + output)
     xbytes = 2 if dtype == "bfloat16" else 4
     dp = ((dim + 127) // 128) * 128
-    if getattr(plan, "tiled", False):
+    if getattr(plan, "tband", False):
+        # transposed layout: X^T/out stream dt lanes; A_t bytes divide by
+        # the device packing (int8/nibble/bit)
+        dt = max(16, ((dim + 15) // 16) * 16)
+        pk = plan.tband_pack
+        band_bytes = sum(
+            len(plan.band_sw_ids[s])
+            * (plan.band_h * plan.band_widths[s] // pk)   # A_t packed
+            + len(plan.band_sw_ids[s])
+            * (plan.band_widths[s] * dt * xbytes)         # X^T slice
+            for s in range(len(plan.band_widths))
+        )
+        dp = dt  # out stream is [dt, M]
+    elif getattr(plan, "tiled", False):
         band_bytes = (
             len(plan.pair_tile) * plan.band_h * plan.tile_w     # A int8
             + int(plan.pair_fetch.sum()) * plan.tile_w * dp * xbytes  # X
@@ -217,6 +233,17 @@ def main() -> int:
     total_bytes = band_bytes + gather_bytes + out_bytes  # + output
     hbm_gbps = 970.0  # measured effective on this chip (tools/profile_band)
     roofline_us = total_bytes / hbm_gbps / 1e3
+    # INTRINSIC roofline (VERDICT r3 weak #2): the CSR-ideal traffic —
+    # ~8 B/nnz of A (int32 col + amortized row pointer), each referenced
+    # X row read once at the TRUE feature width, the output written once.
+    # The plan roofline above prices the bytes the plan CHOSE to move
+    # (band padding inflates A 10-100x at low occupancy); the ratio
+    # moved/intrinsic is the tracked traffic-inflation number.
+    uniq_cols = int(np.unique(ci).size)
+    intrinsic_bytes = (nnz * 8
+                       + uniq_cols * dim * xbytes
+                       + nn * dim * xbytes)
+    intrinsic_us = intrinsic_bytes / hbm_gbps / 1e3
     print(
         json.dumps(
             {
@@ -224,6 +251,10 @@ def main() -> int:
                 "roofline_us": round(roofline_us, 2),
                 "roofline_frac": round(roofline_us / (dur * 1e6 + 1e-9), 3),
                 "moved_mb": round(total_bytes / 1e6, 1),
+                "intrinsic_mb": round(intrinsic_bytes / 1e6, 1),
+                "intrinsic_us": round(intrinsic_us, 2),
+                "traffic_inflation": round(
+                    total_bytes / max(intrinsic_bytes, 1), 2),
                 "nnz": nnz,
                 "nodes": nn,
                 "dim": dim,

@@ -907,37 +907,47 @@ def build_plan(
                         if tot < min(best[0], 0.85 * best_single):
                             best = (tot, (w_lo, w_hi))
                 band_widths = best[1]
-                if al > 16 and len(band_widths) == 1:
-                    # Alignment-aware refinement (tband, al=128): the
-                    # quantile coverage assumed 16-aligned placement; at
-                    # coarser alignment a tight width can leave a tiny
-                    # REAL spill whose fixed dispatch cost (spill_fixed)
-                    # dwarfs one more 128-column slab.  Compare exact
-                    # placements of W and W+128.
+                if len(band_widths) == 1:
+                    # EXACT-placement refinement (round 4): the quantile
+                    # coverage interpolation is a width-resolution
+                    # heuristic whose error compounds at coarse start
+                    # alignment (tband al=128) — measured: cluster-
+                    # reordered DD resolved W=512 with 180k REAL spill
+                    # edges (1.5 ms) while W=768 places zero-spill
+                    # (~250 us).  Re-price the top candidates (and the
+                    # +128 neighbor of the best) with exact placements —
+                    # one native multi-width pass, O(E * ncand).
+                    ranked = sorted(cand_list, key=_tot_single)[:4]
                     w0 = int(band_widths[0])
-                    cands2 = tuple(w for w in (w0, w0 + 128) if w <= W_CAP)
-                    if len(cands2) == 2:
-                        if _nat:
-                            cov2 = _w.native_band_place(
-                                rp64, column_index, n, bh, al, cands2
-                            )[0][:, ne]
-                        else:
-                            cov2 = np.zeros((2, len(ne)), dtype=np.int64)
-                            for b2, wb2 in enumerate(cands2):
-                                cov2[b2], _ = _place_band_windows(
-                                    keys, starts_ne, int(wb2), align=al)
-                        tots = []
-                        for b2, wb2 in enumerate(cands2):
-                            band_s2 = max(
-                                (bh * wb2 + wb2 * dnom * xbytes) / bw_s,
-                                bh * wb2 * a_elem_s)
-                            per2 = np.minimum(
-                                band_s2 + (E_ne - cov2[b2]) * g_ns,
-                                sparse_cost[ne])
-                            unc2 = float((E_ne - cov2[b2]).sum())
-                            tots.append(float(per2.sum())
-                                        + (spill_fixed if unc2 > 0 else 0.0))
-                        band_widths = (cands2[int(np.argmin(tots))],)
+                    exact_c = tuple(sorted({
+                        *(int(v) for v in ranked), w0,
+                        *( (w0 + 128,) if w0 + 128 <= W_CAP else () ),
+                    }))
+                    if _nat:
+                        cov_x = _w.native_band_place(
+                            rp64, column_index, n, bh, al, exact_c
+                        )[0][:, ne]
+                    else:
+                        cov_x = np.zeros((len(exact_c), len(ne)),
+                                         dtype=np.int64)
+                        for b2, wb2 in enumerate(exact_c):
+                            cov_x[b2], _ = _place_band_windows(
+                                keys, starts_ne, int(wb2), align=al)
+                    tots = []
+                    for b2, wb2 in enumerate(exact_c):
+                        band_s2 = max(
+                            (bh * wb2 + wb2 * dnom * xbytes) / bw_s,
+                            bh * wb2 * a_elem_s)
+                        per2 = np.minimum(
+                            band_s2 + (E_ne - cov_x[b2]) * g_ns,
+                            sparse_cost[ne])
+                        dropped2 = bool((band_s2 + (E_ne - cov_x[b2]) * g_ns
+                                         > sparse_cost[ne]).any())
+                        unc2 = float((E_ne - cov_x[b2]).sum())
+                        tots.append(float(per2.sum())
+                                    + (spill_fixed if (unc2 > 0 or dropped2)
+                                       else 0.0))
+                    band_widths = (exact_c[int(np.argmin(tots))],)
                 caps_s = (0,) * len(band_widths)
                 xp_rows = max(xp_rows, int(band_widths[-1]))
             # exact placement per ladder width; per-super bucket choice
@@ -1364,13 +1374,23 @@ def build_plan(
                 # tile-pure chunks in the blocked-gather regime split
                 # every tile's edges across column ranges: measured
                 # ~1.3x more padding gathers (TT tile 30.1 vs block
-                # 24.2 ms; the downstream n_rng gate mirrors this)
-                tiles_u = max(len(np.unique(sp_rows_e >> 7)), 1)
-                chunks_t_eff = chunks_t
-                if (_tbl_mb > config.ds_table_mb
+                # 24.2 ms).  Charge it iff the builder below will
+                # actually block — same n_rng and density gate (ADVICE
+                # r3: the old form hardcoded 2 ranges and omitted the
+                # ds_table_mb > 0 blocking-enabled check).  g_s stays on
+                # pure table size: with blocking disabled the builder
+                # still gathers unsliced from the big table, so the slow
+                # rate is the physically right price there.
+                tiles_u = max(len(tiles_cnt), 1)
+                n_rng_m = 1
+                if (config.ds_table_mb > 0
                         and spill_nnz >= config.ds_blocked_min_edges
-                        and spill_nnz / (2 * tiles_u) >= 128):
-                    chunks_t_eff = int(chunks_t * 1.3)
+                        and _tbl_mb > config.ds_table_mb):
+                    n_rng_m = int(-(-_tbl_mb // config.ds_table_mb))
+                    if spill_nnz / (n_rng_m * tiles_u) < 128:
+                        n_rng_m = 1
+                chunks_t_eff = (int(chunks_t * 1.3) if n_rng_m > 1
+                                else chunks_t)
                 cost_tile = (chunks_t_eff * 128 * g_s + chunks_t * dot_s
                              + (-(-chunks_t // _g)) * floor_s
                              + len(blk_cnt) * blk_rw)
@@ -1419,8 +1439,9 @@ def build_plan(
                     # gathers) scale with per-RANGE density: measured
                     # 2.5x LOSS at 15 edges/(range*tile) on the RD
                     # stand-in (artifacts/round3_hw.jsonl) — require
-                    # the same density gate per range
-                    tiles_t = max(len(np.unique(sp_rows_e >> 7)), 1)
+                    # the same density gate per range (tiles_u is the
+                    # chooser's touched-tile count, same quantity)
+                    tiles_t = tiles_u
                     if spill_nnz / (n_rng * tiles_t) < 128:
                         # measured crossover: below ~128 edges per
                         # (range, tile) the split's padding gathers

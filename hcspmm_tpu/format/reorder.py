@@ -31,6 +31,51 @@ _PKG_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _SRC = os.path.join(_PKG_ROOT, "native", "loa.cpp")
 _LIB_CACHE: Optional[ctypes.CDLL] = None
 _LIB_FAILED = False
+_CL_SRC = os.path.join(_PKG_ROOT, "native", "cluster.cpp")
+_CL_CACHE: Optional[ctypes.CDLL] = None
+_CL_FAILED = False
+
+
+def _cluster_lib() -> Optional[ctypes.CDLL]:
+    """Compile native/cluster.cpp (agglomeration backend) on first use."""
+    global _CL_CACHE, _CL_FAILED
+    if _CL_CACHE is not None:
+        return _CL_CACHE
+    if _CL_FAILED or not os.path.exists(_CL_SRC):
+        return None
+    so_path = os.path.join(
+        tempfile.gettempdir(),
+        f"hcspmm_cluster_{os.getuid()}_{int(os.path.getmtime(_CL_SRC))}.so",
+    )
+    if not os.path.exists(so_path):
+        try:
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-fopenmp", "-shared",
+                 "-fPIC", "-o", so_path, _CL_SRC],
+                check=True, capture_output=True, timeout=120,
+            )
+        except (subprocess.SubprocessError, FileNotFoundError):
+            try:
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", "-o", so_path,
+                     _CL_SRC],
+                    check=True, capture_output=True, timeout=120,
+                )
+            except (subprocess.SubprocessError, FileNotFoundError):
+                _CL_FAILED = True
+                return None
+    try:
+        lib = ctypes.CDLL(so_path)
+    except OSError:
+        _CL_FAILED = True
+        return None
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.hcspmm_cluster_labels.argtypes = [
+        i64p, i32p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, i32p]
+    lib.hcspmm_cluster_labels.restype = ctypes.c_int32
+    _CL_CACHE = lib
+    return lib
 
 
 def _build_lib() -> Optional[ctypes.CDLL]:
@@ -259,8 +304,15 @@ def pack_reorder(row_pointers, column_index, num_nodes: int,
 
 
 def _agglomerate_labels(row_pointers, column_index, num_nodes: int,
-                        cap: int = 1024, rounds: int = 20) -> np.ndarray:
+                        cap: int = 1024, rounds: int = 20,
+                        backend: str = "auto") -> np.ndarray:
     """Size-capped mutual-best heavy-edge agglomeration.
+
+    ``backend='auto'`` runs the native C++ port (native/cluster.cpp —
+    hash-table pair dedup instead of per-round scipy COO->CSR; measured
+    14.7 s -> ~1 s at PRODUCTS@0.25 single-core) and falls back to the
+    NumPy implementation below; 'numpy' forces the fallback (tests
+    assert the two produce identical labels).
 
     Each round: contract the graph by current labels (parallel edges act
     as weights), find every cluster's heaviest-weight partner, and merge
@@ -274,6 +326,19 @@ def _agglomerate_labels(row_pointers, column_index, num_nodes: int,
     64-480 on the DD stand-in).  O(E log E) per round; converges when no
     admissible pair remains.
     """
+    if backend in ("auto", "native"):
+        lib = _cluster_lib()
+        if lib is not None:
+            rp64 = np.ascontiguousarray(row_pointers, dtype=np.int64)
+            ci32 = _as_i32(column_index)
+            out = np.empty(num_nodes, dtype=np.int32)
+            rc = lib.hcspmm_cluster_labels(
+                rp64.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                _ptr(ci32), num_nodes, cap, rounds, _ptr(out))
+            if rc == 0:
+                return out.astype(np.int64)
+        if backend == "native":
+            raise RuntimeError("native cluster backend unavailable")
     rp = np.asarray(row_pointers, dtype=np.int64)
     ci = np.asarray(column_index, dtype=np.int64)
     n = num_nodes

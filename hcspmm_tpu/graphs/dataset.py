@@ -107,6 +107,31 @@ class GraphDataset:
         return cls.from_edges(src, dst, n, dim, num_classes, seed, t0)
 
     @classmethod
+    def real(cls, name: str, dim: int = 0, num_classes: int = 0,
+             seed: int = 0) -> "GraphDataset":
+        """Real (non-synthetic) datasets bundled with the image
+        (graphs.real): 'digits-knn[:k]' carries REAL features and labels
+        (dim/num_classes arguments are overridden by the data); the
+        classic networkx graphs follow the reference's random-feature /
+        all-ones-label convention (dataset.py:109-121)."""
+        import time as _time
+
+        from hcspmm_tpu.graphs import real as _real
+
+        t0 = _time.perf_counter()
+        if name.startswith("digits-knn"):
+            _, _, k = name.partition(":")
+            src, dst, n, x, y = _real.digits_knn(int(k) if k else 8)
+            ds = cls.from_edges(src, dst, n, x.shape[1],
+                                int(y.max()) + 1, seed=seed, t0=t0)
+            ds.x = x
+            ds.y = y
+            return ds
+        src, dst, n = _real.networkx_edges(name)
+        return cls.from_edges(src, dst, n, max(dim, 1),
+                              max(num_classes, 2), seed=seed, t0=t0)
+
+    @classmethod
     def synthetic(
         cls,
         num_nodes: int,

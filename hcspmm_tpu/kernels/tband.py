@@ -327,6 +327,14 @@ def tband_fused_direct(sw_ids, starts, at, xt, wt, num_sw, out_dtype,
 # ---------------------------------------------------------------------------
 
 
+# Spill population size above which the transposed spill path pads its
+# row-layout operands to 128 lanes before the gather+merge: sub-128-lane
+# random row gathers run ~6x slower per row (dp=32 measured 23.8 vs
+# dp=128 4.0 ns/row, artifacts/round3_hw.jsonl take_parallel), so for
+# large spills the two extra pad/slice passes repay themselves.
+_SPILL_WIDE_MIN_EDGES = 100_000
+
+
 def _tband_apply_spill(buf, arrs, xt, plan):
     """Additive spill population for tband plans: spill rows/cols index the
     ORIGINAL row space, so both operands transpose to [M, *] for the shared
@@ -337,9 +345,16 @@ def _tband_apply_spill(buf, arrs, xt, plan):
 
     if not _has_spill(arrs, plan):
         return buf
+    dt = buf.shape[0]
+    wide = plan.spill_nnz >= _SPILL_WIDE_MIN_EDGES and dt < 128
     out_u = buf.T
     x_u = xt.T
+    if wide:
+        out_u = jnp.pad(out_u, ((0, 0), (0, 128 - dt)))
+        x_u = jnp.pad(x_u, ((0, 0), (0, 128 - dt)))
     out_u = apply_spill(out_u, arrs, x_u, plan)
+    if wide:
+        out_u = out_u[:, :dt]
     return out_u.T.astype(buf.dtype)
 
 

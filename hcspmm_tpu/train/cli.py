@@ -95,6 +95,10 @@ def load_dataset(args) -> GraphDataset:
         # edge_index npz/npy, scipy CSR npz, ogb raw directory, csv
         return GraphDataset.from_file(name, args.dim, args.classes,
                                       args.seed)
+    from hcspmm_tpu.graphs.real import REAL_GRAPHS
+
+    if name.startswith("digits-knn") or name in REAL_GRAPHS:
+        return GraphDataset.real(name, args.dim, args.classes, args.seed)
     candidate = os.path.join("Dataset", name + ".txt")
     if os.path.exists(candidate):
         return GraphDataset.from_txt(candidate, args.dim, args.classes, args.seed)

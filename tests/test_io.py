@@ -127,3 +127,60 @@ def test_dataset_from_file_end_to_end(tmp_path):
     ds = GraphDataset.from_file(str(p), dim=8, num_classes=3)
     assert ds.num_nodes == 50 and ds.x.shape == (50, 8)
     assert ds.row_pointers[-1] == ds.nnz
+
+
+def test_real_digits_knn_dataset_and_training():
+    """Real-dataset path end-to-end (VERDICT r3 next #6): sklearn digits
+    (real features + labels) under the k-NN graph, through the full plan
+    -> SpMM -> 2-layer GCN training on CPU."""
+    import numpy as np
+
+    from hcspmm_tpu.config import PlanConfig
+    from hcspmm_tpu.graphs.dataset import GraphDataset
+    from hcspmm_tpu.models.net import Net
+    from hcspmm_tpu.ops.spmm import HybridSpMM
+    from hcspmm_tpu.train.loop import train
+
+    ds = GraphDataset.real("digits-knn:4")
+    assert ds.num_nodes == 1797 and ds.num_classes == 10
+    assert ds.x.shape == (1797, 64)
+    assert not np.all(ds.y == 1)  # REAL labels, not the all-ones fixture
+    op = HybridSpMM(ds.row_pointers, ds.column_index, ds.num_nodes,
+                    PlanConfig(impl="pallas"))
+    net = Net(model="gcn", num_features=64, hidden=16, num_classes=10,
+              num_layers=2)
+    res = train(net, op, ds.x, ds.y, epochs=3, warmup_epochs=1,
+                scan_chunk=1)
+    assert np.isfinite(res["final_loss"])
+
+
+def test_real_edge_list_file_roundtrip(tmp_path):
+    """Committed real graphs (data/*_A.txt) load through the reference
+    text semantics (1-indexed "dst,src", dataset.py:46-61)."""
+    import os
+
+    import numpy as np
+
+    from hcspmm_tpu.graphs import io, real
+
+    for name in ("karate", "lesmis"):
+        path = os.path.join(os.path.dirname(__file__), "..", "data",
+                            f"{name}_A.txt")
+        src, dst, n = io.load_edges_any(path)
+        s2, d2, n2 = real.networkx_edges(name)
+        assert n == n2
+        a = set(zip(src.tolist(), dst.tolist()))
+        b = set(zip(s2.tolist(), d2.tolist()))
+        assert a == b, name
+        # full plan + oracle SpMM on the real graph
+        rp, ci = io.to_csr(src, dst, n)
+        from hcspmm_tpu.ops.spmm import HybridSpMM, spmm_reference_dense
+        from hcspmm_tpu.config import PlanConfig
+
+        op = HybridSpMM(rp, ci, n, PlanConfig(impl="pallas"))
+        x = np.random.RandomState(0).randn(n, 8).astype(np.float32)
+        import jax.numpy as jnp
+
+        z = np.asarray(op(jnp.asarray(x)))
+        zref = spmm_reference_dense(rp, ci, n, x)
+        assert np.abs(z - zref).max() < 1e-4 * max(1, np.abs(zref).max())

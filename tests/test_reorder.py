@@ -160,3 +160,45 @@ def test_agglomerate_respects_cap_roughly():
     # most edges intra-cluster on a clustered graph
     e_row = np.repeat(np.arange(n), np.diff(rp))
     assert (lab[e_row] == lab[ci]).mean() > 0.6
+
+
+def test_native_cluster_labels_match_numpy():
+    """native/cluster.cpp is a bit-identical port of _agglomerate_labels
+    (same best-partner tie-breaking, parity matching, pre-round size
+    snapshot)."""
+    from hcspmm_tpu.format.reorder import _agglomerate_labels, _cluster_lib
+    from hcspmm_tpu.graphs import io
+
+    if _cluster_lib() is None:
+        import pytest
+
+        pytest.skip("no native toolchain")
+    for n, deg, span, seed in [(400, 5, 16, 0), (900, 7, 200, 1),
+                               (2000, 6, 1500, 2)]:
+        src, dst, nn = io.synthetic_graph(n, deg, seed=seed, span=span)
+        rp, ci = io.to_csr(src, dst, nn)
+        a = _agglomerate_labels(rp, ci, nn, rounds=25, backend="numpy")
+        b = _agglomerate_labels(rp, ci, nn, rounds=25, backend="native")
+        assert (a == b).all(), int((a != b).sum())
+
+
+def test_native_cluster_cap_parity():
+    """The size cap steers merges identically in both backends.  (It is
+    NOT a hard bound in either: several bit-0 sources may merge into one
+    bit-1 target in a round, each checked against the pre-round size
+    snapshot — the packer splits oversized groups across bins anyway.)"""
+    from hcspmm_tpu.format.reorder import _agglomerate_labels, _cluster_lib
+    from hcspmm_tpu.graphs import io
+
+    if _cluster_lib() is None:
+        import pytest
+
+        pytest.skip("no native toolchain")
+    src, dst, nn = io.synthetic_graph(1500, 8, seed=3, span=64)
+    rp, ci = io.to_csr(src, dst, nn)
+    for cap in (16, 64, 1024):
+        a = _agglomerate_labels(rp, ci, nn, cap=cap, rounds=25,
+                                backend="numpy")
+        b = _agglomerate_labels(rp, ci, nn, cap=cap, rounds=25,
+                                backend="native")
+        assert (a == b).all(), (cap, int((a != b).sum()))

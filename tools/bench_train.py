@@ -116,7 +116,8 @@ def make_graph(spec, nodes, degree, block, seed=7):
 
 
 def run_config(name, model, layers, hidden, dim, classes, nodes, degree,
-               block, impl, dtype, band, reorder_mode, graph="blocks"):
+               block, impl, dtype, band, reorder_mode, graph="blocks",
+               band_impl="wide", loi_mode="intended"):
     import jax
     import jax.numpy as jnp
     import optax
@@ -138,7 +139,8 @@ def run_config(name, model, layers, hidden, dim, classes, nodes, degree,
         rp, ci = _ro.apply_permutation(rp, ci, nn, perm)
 
     t0 = time.perf_counter()
-    cfg = PlanConfig(compute_dtype=dtype, impl=impl, band_mode=band)
+    cfg = PlanConfig(compute_dtype=dtype, impl=impl, band_mode=band,
+                     band_impl=band_impl, loi_mode=loi_mode)
     op = HybridSpMM(rp, ci, nn, cfg)
     prep_s = time.perf_counter() - t0
 
@@ -161,7 +163,8 @@ def run_config(name, model, layers, hidden, dim, classes, nodes, degree,
     rec = {
         "config": name, "model": model, "layers": layers, "hidden": hidden,
         "dim": dim, "nodes": nn, "nnz": nnz, "impl": impl, "dtype": dtype,
-        "band": band, "reorder": reorder_mode, "graph": graph,
+        "band": band, "band_impl": band_impl, "reorder": reorder_mode,
+        "graph": graph,
         "epoch_ms": round(dur * 1e3, 3),
         # reference Tables VIII/IX split: fwd = forward-only epoch;
         # bwd here = full step (fwd+bwd+Adam) minus fwd

@@ -52,28 +52,32 @@ REF_GIN_MS = {  # (fwd, bwd) — Table IX covers the molecule/social rows
     "YS": (8.16, 13.26), "OC": (8.92, 14.65), "YH": (15.11, 24.14),
     "RD": (21.49, 39.27), "TT": (20.15, 32.92),
 }
-# default stand-in scale per graph (memory/time budget on one chip)
+# stand-in scale per graph: round 4 runs everything that fits one chip
+# at FULL scale (VERDICT r3 next #3); only DP (172M edges / 18M nodes)
+# stays scaled.
 SCALE = {
     "CS": 1.0, "CR": 1.0, "PM": 1.0, "PT": 1.0, "DD": 1.0, "AZ": 1.0,
-    "YS": 0.25, "OC": 0.25, "GH": 0.25, "YH": 0.25, "RD": 0.25,
-    "TT": 0.25, "DP": 0.05,
+    "YS": 1.0, "OC": 1.0, "GH": 1.0, "YH": 1.0, "RD": 1.0,
+    "TT": 1.0, "DP": 0.05,
 }
-# reorder per structure class (molecule unions band under rcm/cluster;
-# social graphs need cluster; tiny citation graphs: rcm)
+# reorder candidates per structure class: molecule unions band best
+# under RCM (round 4: DD tband rcm ~250 us vs cluster 1.5 ms); social
+# graphs historically favored cluster.  The XVI sweep measures both and
+# records the winner, which the epoch rows then reuse.
 REORDER = {
-    "CS": "rcm", "CR": "rcm", "PM": "rcm", "PT": "rcm", "DD": "cluster",
-    "AZ": "cluster", "YS": "cluster", "OC": "cluster", "GH": "cluster",
-    "YH": "cluster", "RD": "cluster", "TT": "cluster", "DP": "cluster",
+    "CS": "rcm", "CR": "rcm", "PM": "rcm", "PT": "rcm", "DD": "rcm",
+    "AZ": "cluster", "YS": "rcm", "OC": "rcm", "GH": "cluster",
+    "YH": "rcm", "RD": "cluster", "TT": "cluster", "DP": "cluster",
 }
 
 
-def _graph(key, scale, seed=7):
+def _graph(key, scale, seed=7, mode=None):
     from hcspmm_tpu.graphs import io
     from hcspmm_tpu.format import reorder as _ro
 
     src, dst, nn, dim = io.reference_standin(key, seed=seed, scale=scale)
     rp, ci = io.to_csr(src, dst, nn)
-    mode = REORDER[key]
+    mode = mode or REORDER[key]
     t0 = time.perf_counter()
     perm = {"rcm": _ro.rcm_reorder, "cluster": _ro.cluster_reorder}[mode](
         rp, ci, nn)
@@ -81,19 +85,22 @@ def _graph(key, scale, seed=7):
     return rp, ci, nn, dim, time.perf_counter() - t0
 
 
-def spmm_row(key, scale, dim=32, rounds=3):
+# best (band_impl, reorder) found by the XVI sweep, consumed by the
+# epoch rows (filled at runtime)
+WINNER: dict = {}
+
+
+def _measure_variant(rp, ci, nn, dim, band_impl, rounds):
     import jax.numpy as jnp
 
     from hcspmm_tpu.config import PlanConfig
     from hcspmm_tpu.ops.spmm import HybridSpMM
     from hcspmm_tpu.models.sag import chained_apply_time
-    from hcspmm_tpu.graphs.io import REFERENCE_GRAPHS
 
-    rp, ci, nn, _, reo_s = _graph(key, scale)
-    nnz = int(rp[-1])
     t0 = time.perf_counter()
     op = HybridSpMM(rp, ci, nn, PlanConfig(
-        compute_dtype="bfloat16", impl="pallas"))
+        compute_dtype="bfloat16", impl="pallas", band_impl=band_impl,
+        loi_mode="calibrated"))
     prep_s = time.perf_counter() - t0
     x = jnp.asarray(np.random.RandomState(0).randn(nn, dim)
                     .astype(np.float32)).astype(jnp.bfloat16)
@@ -108,22 +115,66 @@ def spmm_row(key, scale, dim=32, rounds=3):
     xp = op.pad_input(x)
     ts = sorted(chained_apply_time(_P(op), xp, k1=2, k2=10, trials=3)
                 for _ in range(rounds))
-    med = ts[len(ts) // 2]
+    return ts, prep_s, op.plan
+
+
+def spmm_row(key, scale, dim=32, rounds=3):
+    """Table XVI row at the reference SAG shape (dim 32, the
+    forward_fixed32 kernel).  Measures the candidate (layout, reorder)
+    pairs — tband is the dim-32 fast path; reorder choice is
+    structure-dependent — and reports the best, recording every
+    candidate's numbers (the reference likewise benchmarks its best
+    LOA layout, report SSVI-C3)."""
+    from hcspmm_tpu.graphs.io import REFERENCE_GRAPHS
+
+    reorders = list(dict.fromkeys([REORDER[key], "rcm"]))
+    cands = []
+    for mode in reorders:
+        rp, ci, nn, _, reo_s = _graph(key, scale, mode=mode)
+        nnz = int(rp[-1])
+        for impl in ("tband", "wide"):
+            try:
+                ts, prep_s, plan = _measure_variant(
+                    rp, ci, nn, dim, impl, max(rounds - 1, 2))
+            except Exception as e:
+                print(json.dumps({"table": "XVI-cand-error", "graph": key,
+                                  "impl": impl, "reorder": mode,
+                                  "error": f"{type(e).__name__}: {e}"}),
+                      file=_sys.stderr, flush=True)
+                continue
+            med = ts[len(ts) // 2]
+            cands.append(dict(
+                impl=impl, reorder=mode, med=med, ts=ts, prep_s=prep_s,
+                reo_s=reo_s, nn=nn, nnz=nnz,
+                band_frac=plan.band_nnz / max(nnz, 1),
+                spill_frac=getattr(plan, "spill_nnz", 0) / max(nnz, 1),
+                widths=list(plan.band_widths)))
+            print(json.dumps({"table": "XVI-cand", "graph": key,
+                              "impl": impl, "reorder": mode,
+                              "us": [round(t * 1e6, 1) for t in ts]}),
+                  file=_sys.stderr, flush=True)
+    if not cands:
+        raise RuntimeError(f"every candidate failed for {key}")
+    best = min(cands, key=lambda c: c["med"])
+    WINNER[key] = (best["impl"], best["reorder"])
+    med, nnz, nn = best["med"], best["nnz"], best["nn"]
     g = REFERENCE_GRAPHS[key]
     ref_gnnz = g["num_edges"] / REF_SPMM_US[key] / 1e3
     our_gnnz = nnz / med / 1e9
     return {
         "table": "XVI", "graph": key, "scale": scale, "dim": dim,
         "nodes": nn, "nnz": nnz, "spmm_us": round(med * 1e6, 2),
-        "all_us": [round(t * 1e6, 1) for t in ts],
+        "all_us": [round(t * 1e6, 1) for t in best["ts"]],
+        "band_impl": best["impl"], "reorder": best["reorder"],
+        "band_widths": best["widths"],
         "gnnz_s": round(our_gnnz, 4),
         "ref_us_3090": REF_SPMM_US[key],
         "ref_gnnz_s": round(ref_gnnz, 4),
         "ratio_vs_ref": round(our_gnnz / ref_gnnz, 4),
-        "prep_s": round(prep_s, 2), "reorder_s": round(reo_s, 2),
-        "band_frac": round(op.plan.band_nnz / max(nnz, 1), 3),
-        "spill_frac": round(getattr(op.plan, "spill_nnz", 0)
-                            / max(nnz, 1), 3),
+        "prep_s": round(best["prep_s"], 2),
+        "reorder_s": round(best["reo_s"], 2),
+        "band_frac": round(best["band_frac"], 3),
+        "spill_frac": round(best["spill_frac"], 3),
     }
 
 
@@ -137,10 +188,14 @@ def epoch_row(key, scale, model):
     if ref is None:
         return None
     layers, hidden = (6, 32) if model == "gcn" else (5, 64)
+    # reuse the XVI sweep's winning (layout, reorder); hidden <= 64 puts
+    # every hot layer in the tband regime
+    impl_w, reorder_w = WINNER.get(key, ("tband", REORDER[key]))
     rec = run_config(
         f"parity_{model}_{key}", model, layers, hidden,
         min(dimtbl[key], 512), 22, 0, 0, 0, "pallas", "bfloat16", "auto",
-        REORDER[key], graph=f"standin:{key}@{scale}")
+        reorder_w, graph=f"standin:{key}@{scale}",
+        band_impl=impl_w, loi_mode="calibrated")
     from hcspmm_tpu.graphs.io import REFERENCE_GRAPHS
 
     e_full = REFERENCE_GRAPHS[key]["num_edges"]
