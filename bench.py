@@ -46,7 +46,11 @@ def chained_timer(fn, x, k1: int, k2: int, trials: int = 4):
 def main() -> int:
     nodes = int(os.environ.get("HCSPMM_BENCH_NODES", 334_928))
     degree = float(os.environ.get("HCSPMM_BENCH_DEGREE", 5.03))
-    dim = int(os.environ.get("HCSPMM_BENCH_DIM", 96))
+    # dim 32 = the reference's actual Table XVI shape (the SAG profile
+    # runs forward_fixed32, GNN_model.py:251-262) — round 4 made the
+    # headline like-for-like; HCSPMM_BENCH_DIM=96 restores the old
+    # arbitrary-dim configuration
+    dim = int(os.environ.get("HCSPMM_BENCH_DIM", 32))
     dtype = os.environ.get("HCSPMM_BENCH_DTYPE", "bfloat16")
     mode = os.environ.get("HCSPMM_BENCH_MODE", "intended")
     impl = os.environ.get("HCSPMM_BENCH_IMPL", "pallas")
@@ -61,7 +65,10 @@ def main() -> int:
     # kernel; measured best at DD scale: 548 us vs 729 at bh=512/W=1024)
     band_h = int(os.environ.get("HCSPMM_BENCH_BAND_H", 256))
     band_widths = os.environ.get("HCSPMM_BENCH_BAND_WIDTHS", "")  # "" = auto
-    band_impl = os.environ.get("HCSPMM_BENCH_BAND_IMPL", "wide")
+    # transposed band is the measured dim<=64 fast path (kernels/tband.py,
+    # tools/hw_tband.py: DD/dim32 wide 302-546 us -> tband 178-365)
+    band_impl = os.environ.get(
+        "HCSPMM_BENCH_BAND_IMPL", "tband" if dim <= 64 else "wide")
     # narrow-dim folded layout (config.band_fold): fold=4 packs 4 rows
     # per 128-lane VMEM row for dim<=32 (the reference SAG shape)
     band_fold = int(os.environ.get("HCSPMM_BENCH_FOLD", 1))
@@ -177,9 +184,10 @@ def main() -> int:
         # vs_baseline caveat: the denominator is the reference's measured
         # number on the REAL DD dataset on an RTX 3090 at dim=32 (the SAG
         # profile runs forward_fixed32); the numerator is this TPU chip on
-        # a DD-matched synthetic stand-in at the dim above.  Cross-hardware,
-        # cross-dim, stand-in graph — a north-star ratio, not like-for-like.
-        "baseline_ref": "DD@dim32 RTX3090 (Table XVI), stand-in graph",
+        # a DD-matched synthetic stand-in (same dim by default since
+        # round 4).  Cross-hardware + stand-in graph caveats remain.
+        "baseline_ref": ("DD@dim32 RTX3090 (Table XVI), stand-in graph"
+                         + ("" if dim == 32 else f", ours at dim={dim}")),
     }
     plan = op.plan
     # roofline: bytes each population must move (A blocks + X + output)
