@@ -155,6 +155,12 @@ class ExecutionPlan:
     ds_meta: Optional[dict] = None         # column-range blocking slice
     #   table (kernels/dstream.py build_dstream_ranges): static host
     #   metadata, NOT a device array
+    ds_ucols: Optional[np.ndarray] = None  # int32 [U] sorted unique spill
+    #   columns: when present, the spill gather is TWO-LEVEL — one sorted
+    #   take builds a compact [U, dp] table, and ds_gcols index THAT
+    #   (remapped at build).  Kills the big-table gather wall + chunk-
+    #   padding cost on low-density spills (YS-class: 170k edges over a
+    #   437 MB table measured ~29 ns/edge; compact table is ~33 MB)
     ds_kind: str = "tile"                  # 'tile' = dstream (tile-pure
     #   chunks); 'block' = bstream (block-wide chunks, low-density fix)
     ds_gather_f32: bool = False            # cast bf16 X to f32 before the
@@ -334,6 +340,8 @@ class ExecutionPlan:
                 d["ds_local"] = self.ds_local
                 d["ds_blk"] = self.ds_blk
                 d["ds_lt"] = self.ds_lt
+                if self.ds_ucols is not None:
+                    d["ds_ucols"] = self.ds_ucols
         for b in range(len(self.bucket_widths)):
             d[f"b{b}_cols"] = self.bucket_cols[b]
             d[f"b{b}_a"] = self.bucket_a[b]
@@ -933,17 +941,29 @@ def build_plan(
                         for b2, wb2 in enumerate(exact_c):
                             cov_x[b2], _ = _place_band_windows(
                                 keys, starts_ne, int(wb2), align=al)
+                    # Density-aware spill rate: the streamed merge's
+                    # chunk fill collapses when spill edges scatter
+                    # thinly over the destination tiles (YS-class:
+                    # 170k edges over a 1.7M-row space measured
+                    # ~29 ns/edge vs ~5 at powerlaw density — the
+                    # gathers are mostly chunk padding).  Anchored
+                    # hyperbola: + ~250/ept ns (ept = edges per
+                    # 128-row tile); reproduces 29 ns at ept 12.7 and
+                    # ~the base rate past ept ~60.
+                    m_tiles = max(num_sw * bh / 128.0, 1.0)
                     tots = []
                     for b2, wb2 in enumerate(exact_c):
+                        unc_v = E_ne - cov_x[b2]
+                        unc2 = float(unc_v.sum())
+                        ept = max(unc2 / m_tiles, 0.5)
+                        g_eff = g_ns + min(250.0 / ept, 120.0) * 1e-9
                         band_s2 = max(
                             (bh * wb2 + wb2 * dnom * xbytes) / bw_s,
                             bh * wb2 * a_elem_s)
-                        per2 = np.minimum(
-                            band_s2 + (E_ne - cov_x[b2]) * g_ns,
-                            sparse_cost[ne])
-                        dropped2 = bool((band_s2 + (E_ne - cov_x[b2]) * g_ns
+                        per2 = np.minimum(band_s2 + unc_v * g_eff,
+                                          sparse_cost[ne])
+                        dropped2 = bool((band_s2 + unc_v * g_eff
                                          > sparse_cost[ne]).any())
-                        unc2 = float((E_ne - cov_x[b2]).sum())
                         tots.append(float(per2.sum())
                                     + (spill_fixed if (unc2 > 0 or dropped2)
                                        else 0.0))
@@ -1343,6 +1363,7 @@ def build_plan(
             # grid-step floor and the per-touched-block R/W.
             ds_kind = "tile"
             ds_dense_enough = False
+            compact_ok = False
             if spill_nnz and config.spill_impl == "dstream" \
                     and (num_sw * bh) % 128 == 0:
                 from hcspmm_tpu.kernels.dstream import pick_group as _pg
@@ -1367,7 +1388,22 @@ def build_plan(
                 # ~1.2 ms fixed cost)
                 el_b = 2 if config.compute_dtype == "bfloat16" else 4
                 _tbl_mb = num_sw * bh * 128 * el_b / 1e6
-                g_s = 8e-9 if _tbl_mb > config.ds_table_mb else 4e-9
+                # unique-column compaction (round 4): when the activation
+                # table exceeds the page-locality wall but the spill's
+                # UNIQUE columns fit a compact table, one sorted take
+                # builds [U, dp] and every chunk gather (incl. padding)
+                # runs at the small-table rate.
+                compact_fixed = 0.0
+                if config.ds_table_mb > 0 and _tbl_mb > config.ds_table_mb:
+                    _u_cols = int(len(np.unique(sp_cols_e)))
+                    _uc_mb = _u_cols * 128 * el_b / 1e6
+                    compact_ok = (_uc_mb <= config.ds_table_mb
+                                  and _uc_mb < 0.5 * _tbl_mb)
+                    if compact_ok:
+                        compact_fixed = _u_cols * 8e-9
+                g_s = (4e-9 if (compact_ok
+                                or _tbl_mb <= config.ds_table_mb)
+                       else 8e-9)
                 dot_s = 128 * 128 * 128 * 2 / 150e12  # [128,128]@[128,dp]
                 floor_s = 0.15e-6
                 blk_rw = 2 * _g * 128 * dnom * xbytes / bw_s
@@ -1383,7 +1419,7 @@ def build_plan(
                 # rate is the physically right price there.
                 tiles_u = max(len(tiles_cnt), 1)
                 n_rng_m = 1
-                if (config.ds_table_mb > 0
+                if (not compact_ok and config.ds_table_mb > 0
                         and spill_nnz >= config.ds_blocked_min_edges
                         and _tbl_mb > config.ds_table_mb):
                     n_rng_m = int(-(-_tbl_mb // config.ds_table_mb))
@@ -1393,11 +1429,11 @@ def build_plan(
                                 else chunks_t)
                 cost_tile = (chunks_t_eff * 128 * g_s + chunks_t * dot_s
                              + (-(-chunks_t // _g)) * floor_s
-                             + len(blk_cnt) * blk_rw)
+                             + len(blk_cnt) * blk_rw + compact_fixed)
                 cost_block = (chunks_b * 128 * g_s
                               + chunks_b * dot_s * _g
                               + chunks_b * floor_s
-                              + len(blk_cnt) * blk_rw) \
+                              + len(blk_cnt) * blk_rw + compact_fixed) \
                     if _g > 1 else np.inf
                 # take path: exact-count gather + XLA segsum + scatter
                 # (measured 7.5 + 13.7 ns/row, artifacts/round2_hw.jsonl)
@@ -1430,7 +1466,7 @@ def build_plan(
                 el_b = 2 if config.compute_dtype == "bfloat16" else 4
                 tbl_mb = mp * 128 * el_b / 1e6
                 n_rng = 1
-                if (config.ds_table_mb > 0
+                if (not compact_ok and config.ds_table_mb > 0
                         and spill_nnz >= config.ds_blocked_min_edges
                         and tbl_mb > config.ds_table_mb):
                     n_rng = int(-(-tbl_mb // config.ds_table_mb))
@@ -1468,13 +1504,26 @@ def build_plan(
                 # 86 MB table measured 2-2.6 ns/row — casting there COST
                 # 2.3x end-to-end on powerlaw, artifacts round-3) and the
                 # spill is large enough to repay the cast stream
+                ds_uc = None
+                if compact_ok:
+                    # two-level gather: remap chunk gather indices into
+                    # the compact unique-column table (sorted take builds
+                    # it at runtime); pad entries carry col == c, which
+                    # searchsorted maps to U — clipped to the last
+                    # compact row, dropped by the local-id sentinel
+                    ds_uc = np.unique(sp_cols_e).astype(np.int32)
+                    ds_g = np.searchsorted(ds_uc, ds_g).astype(np.int32)
+                # gf32 decision uses the table the gathers actually hit
+                eff_tbl_mb = (len(ds_uc) * 128 * el_b / 1e6
+                              if ds_uc is not None else tbl_mb)
                 gf32_auto = (config.compute_dtype == "bfloat16"
                              and spill_nnz >= config.ds_gather_f32_min_edges
-                             and tbl_mb >= config.ds_gather_f32_min_table_mb)
+                             and eff_tbl_mb
+                             >= config.ds_gather_f32_min_table_mb)
                 spill_fields.update(
                     ds_gcols=ds_g, ds_local=ds_l, ds_blk=ds_b, ds_lt=ds_t,
                     ds_group=ds_grp, ds_rows=mp, ds_meta=ds_m,
-                    ds_kind=ds_kind,
+                    ds_kind=ds_kind, ds_ucols=ds_uc,
                     ds_gather_f32=(gf32_auto
                                    if config.ds_gather_f32 == "auto"
                                    else bool(config.ds_gather_f32)))

@@ -465,6 +465,12 @@ def dstream_spill(arrs, xsrc, out, plan):
     and merges through the aliased output — the take gathers run against
     small tables at the fast page-local rate."""
     gf32 = bool(getattr(plan, "ds_gather_f32", False))
+    if "ds_ucols" in arrs:
+        # two-level gather (plan.ds_ucols): ONE sorted take builds the
+        # compact unique-column table; every chunk gather below —
+        # including the padding slots — then hits a small table at the
+        # fast page-local rate instead of the full activation space
+        xsrc = jnp.take(xsrc, arrs["ds_ucols"], axis=0, mode="clip")
     if getattr(plan, "ds_kind", "tile") == "block":
         return bstream_merge(arrs["ds_gcols"], arrs["ds_local"],
                              arrs["ds_blk"], xsrc, out,

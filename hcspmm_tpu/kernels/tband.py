@@ -331,8 +331,13 @@ def tband_fused_direct(sw_ids, starts, at, xt, wt, num_sw, out_dtype,
 # row-layout operands to 128 lanes before the gather+merge: sub-128-lane
 # random row gathers run ~6x slower per row (dp=32 measured 23.8 vs
 # dp=128 4.0 ns/row, artifacts/round3_hw.jsonl take_parallel), so for
-# large spills the two extra pad/slice passes repay themselves.
+# large spills the two extra pad/slice passes repay themselves — but
+# only while the PADDED table stays under the big-table gather wall
+# (take degrades 3.9 -> 8.6 ns/row past ~200 MB, round-3 probe): at
+# multi-million-row M the 128-lane pad quadruples the table and loses
+# more to the wall + pad streams than the sublane penalty costs.
 _SPILL_WIDE_MIN_EDGES = 100_000
+_SPILL_WIDE_MAX_TABLE_MB = 256.0
 
 
 def _tband_apply_spill(buf, arrs, xt, plan):
@@ -346,7 +351,12 @@ def _tband_apply_spill(buf, arrs, xt, plan):
     if not _has_spill(arrs, plan):
         return buf
     dt = buf.shape[0]
-    wide = plan.spill_nnz >= _SPILL_WIDE_MIN_EDGES and dt < 128
+    tbl_mb = buf.shape[1] * 128 * jnp.dtype(xt.dtype).itemsize / 1e6
+    # (measured on YS@1.0: padding a 1.7M-row space to 128 lanes for the
+    # compact-build take LOST 2.7 ms — the pad passes cost more than the
+    # sublane-gather penalty they remove; keep the pad small-table only)
+    wide = (plan.spill_nnz >= _SPILL_WIDE_MIN_EDGES and dt < 128
+            and tbl_mb <= _SPILL_WIDE_MAX_TABLE_MB)
     out_u = buf.T
     x_u = xt.T
     if wide:

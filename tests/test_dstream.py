@@ -329,3 +329,48 @@ def test_bstream_plan_end_to_end_matches_oracle():
     zref = spmm_reference_dense(rp, ci, n, x)
     scale = np.abs(zref).max() + 1e-9
     assert np.abs(z - zref).max() / scale < 5e-4
+
+
+def test_spill_unique_column_compaction_matches_oracle():
+    """Two-level spill gather (plan.ds_ucols): the compact-table path is
+    numerically identical to the direct gather (tiny ds_table_mb forces
+    compaction on a small graph)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hcspmm_tpu.config import PlanConfig
+    from hcspmm_tpu.ops.spmm import HybridSpMM, spmm_reference_dense
+    from conftest import small_graph
+
+    # local band edges + a spill population concentrated on 64 far hub
+    # columns (small unique-column set = the compaction regime)
+    from hcspmm_tpu.graphs import io as _io
+
+    rng = np.random.RandomState(0)
+    nn = 4096
+    src_l = rng.randint(0, nn, 12000)
+    dst_l = (src_l + rng.randint(1, 48, 12000)) % nn
+    hubs = rng.choice(nn, 64, replace=False)
+    src_h = rng.randint(0, nn, 9000)
+    dst_h = hubs[rng.randint(0, 64, 9000)]
+    # directed on purpose: only the random->hub direction exists, so
+    # the spill's column set is exactly the 64 hubs
+    src = np.concatenate([src_l, dst_l, src_h])
+    dst = np.concatenate([dst_l, src_l, dst_h])
+    rp, ci = _io.to_csr(src, dst, nn)
+    # band 384 covers the +-48 local extents, so ONLY the hub edges
+    # spill: 64 unique columns against a 2 MB activation table
+    cfg = PlanConfig(impl="pallas", compute_dtype="float32",
+                     band_widths=(384,), band_mode="auto",
+                     ds_table_mb=0.2, ds_blocked_min_edges=0)
+    op = HybridSpMM(rp, ci, nn, cfg)
+    assert op.plan.spill_nnz > 0
+    assert op.plan.ds_ucols is not None, (
+        "compaction must engage (table above the wall, unique spill "
+        "cols far below)")
+    x = np.random.RandomState(0).randn(nn, 16).astype(np.float32)
+    z = np.asarray(jax.jit(op)(jnp.asarray(x)))
+    zref = spmm_reference_dense(rp, ci, nn, x)
+    err = np.abs(z - zref).max() / (np.abs(zref).max() + 1e-9)
+    assert err < 1e-5, err
