@@ -44,6 +44,12 @@ def build_parser() -> argparse.ArgumentParser:
                             "all_dense", "all_sparse"])
     p.add_argument("--impl", type=str, default="pallas",
                    choices=["xla", "pallas"])
+    p.add_argument("--band-impl", type=str, default="auto",
+                   choices=["auto", "wide", "tiled", "tband", "ring"],
+                   help="band kernel flavor; 'auto' picks the transposed "
+                        "dim<=64 fast path (kernels/tband.py, the "
+                        "reference _hybrid_32/64 analog) when every model "
+                        "dim fits, else 'wide'")
     p.add_argument("--band-fold", type=int, default=1, choices=[1, 2, 4],
                    help="narrow-dim folded activation layout: pack this "
                         "many rows per 128-lane VMEM row (all layer dims "
@@ -132,12 +138,24 @@ def main(argv=None) -> int:
 
     ds = load_dataset(args)
     fold = getattr(args, "band_fold", 1)
+    band_impl = getattr(args, "band_impl", "auto")
+    if band_impl == "auto":
+        # transposed band when every dim the model touches fits the
+        # dim<=64 fast-path regime (input dim can exceed it: tband is
+        # dim-generic, just not faster above ~64 — the hidden layers
+        # dominate the epoch)
+        dims = [ds.num_features or args.dim, args.hidden, args.classes]
+        band_impl = ("tband"
+                     if args.impl == "pallas" and fold == 1
+                     and max(args.hidden, args.classes) <= 64
+                     and min(dims) > 0 else "wide")
     cfg = PlanConfig(
         bucket_widths=tuple(int(v) for v in getattr(args, "bucket_widths").split(",")),
         loi_mode=getattr(args, "loi_mode"),
         compute_dtype=getattr(args, "compute_dtype"),
         impl=args.impl,
         band_fold=fold,
+        band_impl=band_impl if args.impl == "pallas" else "wide",
         spill_impl=getattr(args, "spill_impl", "dstream"),
         # folded plans need full band coverage (format.plan validation)
         **({"band_mode": "always"} if fold > 1 else {}),
