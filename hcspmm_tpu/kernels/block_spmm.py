@@ -204,7 +204,9 @@ def ell_bucket_spmm(cols, xp, *, rows_per_step: int = 0, lookahead: int = 16):
 # measured at DD scale); hand-rolling BOTH the A-block and X-band copies
 # with a 3-deep prefetch removed it (tools/profile_band 'deep' vs 'full':
 # 563-638 us vs 916-1002 us interleaved in one process).
-_BAND_LOOKAHEAD = 4  # slots; effective lookahead is one less
+_BAND_LOOKAHEAD = int(__import__("os").environ.get(
+    "HCSPMM_BAND_SLOTS", 4))  # slots; effective lookahead is one less
+#   (env override is an experiment knob: big-M DMA efficiency probe)
 
 
 def _band_body_deep(starts_ref, a_hbm, x_hbm, aband, band, asems, xsems,
