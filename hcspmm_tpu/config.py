@@ -186,6 +186,21 @@ class PlanConfig:
     ds_gather_f32: "bool | str" = "auto"
     ds_gather_f32_min_edges: int = 400_000
     ds_gather_f32_min_table_mb: float = 192.0
+    # Lane-oriented spill merge for transposed-band plans
+    # (kernels/tspill.py): 'auto' builds block-wide chunks consumed in
+    # the [dt, M] layout (no relayout passes — the round-3 wrapper's
+    # three [M, dt] transposes measured ~2.2 ms extra at YS@1.0);
+    # 'off' keeps the legacy transpose-and-reuse-row-merge wrapper.
+    spill_lane: str = "auto"
+    # Past this many MB (dim-32 transposed-table estimate), the lane
+    # gather goes two-level: kernels/tspill.mxgather_lanes builds a
+    # compact unique-column table by pipelined slab DMA + one-hot MXU
+    # dots, and per-edge gathers hit it at the small-table rate
+    # (probe: [32, 1.75M] = 112 MB direct lane take ~15 ns/col vs
+    # ~1.9 ns from a compact table; tools/probe_tspill.py).
+    ts_table_mb: float = 48.0
+    ts_span: int = 1024   # mxgather slab width (lanes)
+    ts_k: int = 128       # mxgather cols per chunk
     # Band-block compute wall: int8->bf16 convert + MXU dot seconds per
     # A ELEMENT (v5e measured: DD's 214M-element band ~450 us compute-
     # bound, docs/ROADMAP.md) — prices wide low-occupancy bands.

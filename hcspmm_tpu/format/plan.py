@@ -165,6 +165,22 @@ class ExecutionPlan:
     #   chunks); 'block' = bstream (block-wide chunks, low-density fix)
     ds_gather_f32: bool = False            # cast bf16 X to f32 before the
     #   spill gather (f32 rows gather ~45% faster; config.ds_gather_f32)
+    # lane-oriented spill merge for transposed-band plans
+    # (kernels/tspill.py): block-wide chunks consumed in the [dt, M]
+    # layout — no full-array relayout passes (the round-3 wrapper's
+    # three [M, dt] transposes measured ~2.2 ms extra at YS@1.0,
+    # tools/profile_parts.py)
+    ds_tlocal: Optional[np.ndarray] = None  # int32 [C, 128, 1] dst lane
+    #   within the chunk's G*128-lane block (sentinel G*128 drops)
+    ds_lblk: Optional[np.ndarray] = None    # int32 [C] lane-block per chunk
+    ds_lgroup: int = 0                      # lane merge group (own, larger
+    #   G than the row layout's: [dt, G*128] blocks are dt/128 the bytes)
+    ds_laneg: Optional[np.ndarray] = None   # int32 [C*128] lane-gather
+    #   ids: original columns (direct take from xt), or compact slots
+    #   when ts_lo/ts_rel are present (mxgather two-level)
+    ts_lo: Optional[np.ndarray] = None      # int32 [C2] mxgather slab bases
+    ts_rel: Optional[np.ndarray] = None     # int32 [C2, 1, K] in-slab offsets
+    ts_span: int = 0                        # mxgather slab width (lanes)
 
     # ---- banded (MXU block-band) path: one entry per band-width bucket ----
     band_h: int = 16                          # superwindow height (rows)
@@ -342,6 +358,13 @@ class ExecutionPlan:
                 d["ds_lt"] = self.ds_lt
                 if self.ds_ucols is not None:
                     d["ds_ucols"] = self.ds_ucols
+                if self.ds_tlocal is not None:
+                    d["ds_tlocal"] = self.ds_tlocal
+                    d["ds_lblk"] = self.ds_lblk
+                    d["ds_laneg"] = self.ds_laneg
+                    if self.ts_lo is not None:
+                        d["ts_lo"] = self.ts_lo
+                        d["ts_rel"] = self.ts_rel
         for b in range(len(self.bucket_widths)):
             d[f"b{b}_cols"] = self.bucket_cols[b]
             d[f"b{b}_a"] = self.bucket_a[b]
@@ -372,7 +395,22 @@ class ExecutionPlan:
             # list.  Shard (rectangular) plans never run padded, and its
             # per-shard length is non-uniform, which would break the
             # shard-uniform array stacking (parallel.partition).
-            d["band_missing_sw"] = self.band_missing_sw
+            # Aligned full runs of 8 consecutive missing supers split
+            # into an 8-wide list: the zero-fill kernel writes them as
+            # single [.., 8*bh] blocks, cutting its grid-step count ~8x
+            # on cluster-ordered graphs whose uncovered regions are
+            # contiguous (YS: 2023 steps measured ~516 us).
+            mm = np.sort(self.band_missing_sw.astype(np.int64))
+            num_sw = self.padded_rows // self.band_h if self.band_h else 0
+            if len(mm) and num_sw % 8 == 0:  # 8-wide blocks must tile M
+                cnt = np.bincount(mm // 8)
+                full8 = np.where(cnt == 8)[0]
+                in8 = np.isin(mm // 8, full8)
+                d["band_missing_sw8"] = full8.astype(np.int32)
+                d["band_missing_sw"] = mm[~in8].astype(np.int32)
+            else:
+                d["band_missing_sw8"] = np.zeros(0, dtype=np.int32)
+                d["band_missing_sw"] = self.band_missing_sw
         for s in range(len(self.band_widths)):
             d[f"band{s}_start"] = self.band_starts[s]
             if self.tband:
@@ -695,6 +733,15 @@ def build_plan(
         # get trailing EMPTY superwindows (zero A blocks -> the direct
         # write stores zeros there), keeping the padded invariant.
         num_sw = max(num_sw, -(-128 // bh))
+        # Round the super count to a multiple of 16 so M divides every
+        # power-of-two block size up to 16*bh: the lane-merge group
+        # (kernels/tspill.py) and the 8-wide zero-fill batches both need
+        # M % span == 0 (Pallas blocked specs).  YH's 12259 supers made
+        # pick_group collapse to span 256 — 12.3k mostly-padding chunks,
+        # 42 ns/spill-edge (tools/profile_tspill_stages.py).  Trailing
+        # supers are in no bucket -> zero-filled like any missing super;
+        # the row/lane padding costs <= 15*bh rows of zeros.
+        num_sw = -(-num_sw // 16) * 16
     band_starts: List[np.ndarray] = []
     band_edges: List[np.ndarray] = []
     band_sw_ids: List[np.ndarray] = []
@@ -1448,6 +1495,15 @@ def build_plan(
                 if config.ds_kind != "auto":
                     ds_kind = config.ds_kind
                 ds_dense_enough = ds_kind != "take"
+                # transposed-band plans merge spill in the LANE
+                # orientation (kernels/tspill.py tbstream): that path
+                # consumes block-wide chunks and has no relayout passes,
+                # so it beats 'take' (which would pay three [M, dt]
+                # transposes in the wrapper) at any size — force the
+                # block build.
+                if tband and config.spill_lane != "off":
+                    ds_kind = "block"
+                    ds_dense_enough = True
             if (config.spill_impl == "dstream" and ds_dense_enough
                     and config.impl == "pallas" and band_widths
                     and (num_sw * bh) % 128 == 0
@@ -1504,6 +1560,72 @@ def build_plan(
                 # 86 MB table measured 2-2.6 ns/row — casting there COST
                 # 2.3x end-to-end on powerlaw, artifacts round-3) and the
                 # spill is large enough to repay the cast stream
+                # lane-oriented merge arrays for transposed-band plans
+                # (kernels/tspill.py) — capture the ORIGINAL column ids
+                # before any row-path compact remap below
+                lane_fields = {}
+                if (tband and config.spill_lane != "off"
+                        and ds_kind == "block"):
+                    # lane chunks get their OWN (larger) group: [dt,
+                    # G*128] destination blocks are dt/128 the bytes of
+                    # the row layout's [G*128, 128], so a 4x group
+                    # quarters the block-boundary chunk breaks that
+                    # dominate diffuse spills (YH: ~3k single-chunk
+                    # blocks at G=8 measured ~42 ns/edge)
+                    from hcspmm_tpu.kernels.dstream import (
+                        build_bstream as _bb, pick_group as _pgl)
+
+                    # host cost model over candidate groups: per chunk
+                    # a ~400 ns fixed step (gathered/local streams, dot,
+                    # grid) + the [128, span] one-hot build (~0.0011 ns
+                    # per element, VPU-bound: span 4096 measured ~550 ns,
+                    # 256 ~35 ns), per visited block a [dt, span] R/W
+                    # pair (dt=32 estimate).  Dense spills want small
+                    # spans (one-hot cost per full chunk), diffuse ones
+                    # large (block-break chunks dominate) — YH picks 32,
+                    # AZ 4/8.
+                    def _lane_cost(g):
+                        span_l = g * 128
+                        bc = np.bincount(sp_rows_e // span_l)
+                        bc = bc[bc > 0]
+                        chunks_l = int((-(-bc // 128)).sum())
+                        oh_ns = 0.0011 * 128 * span_l
+                        rw_ns = 2 * 32 * span_l * 2 / 819e9 * 1e9
+                        return (chunks_l * (400.0 + oh_ns)
+                                + len(bc) * rw_ns)
+
+                    cand_g = [g for g in (4, 8, 16, 32)
+                              if mp % (g * 128) == 0]
+                    lg_grp = (min(cand_g, key=_lane_cost) if cand_g
+                              else _pgl(mp, max_group=32))
+                    lg_g, lg_l, lg_b, lg_grp = _bb(
+                        sp_rows_e, sp_cols_e, mp, pad_col=c, group=lg_grp)
+                    cl = len(lg_b)
+                    lane_fields["ds_tlocal"] = (
+                        lg_l[:cl].astype(np.int32)[:, :, None])
+                    lane_fields["ds_lblk"] = lg_b
+                    lane_fields["ds_lgroup"] = lg_grp
+                    g_lane = lg_g.astype(np.int64)
+                    # past the lane-table wall a compact table is built
+                    # by mxgather and every per-edge gather hits it at
+                    # the small-table rate ([32, 1.75M] = 112 MB direct
+                    # lane take measured ~15 ns/col vs ~1.9 from compact;
+                    # tools/probe_tspill.py).  Estimate with the dim-32
+                    # transposed table.
+                    lane_tbl_mb = mp * 32 * el_b / 1e6
+                    if (config.ts_table_mb > 0
+                            and lane_tbl_mb > config.ts_table_mb
+                            and mp >= config.ts_span):
+                        from hcspmm_tpu.kernels.tspill import \
+                            build_mx_chunks
+
+                        uc_l = np.unique(g_lane)
+                        ts_lo, ts_rel, ts_slot = build_mx_chunks(
+                            uc_l, config.ts_span, config.ts_k, mp)
+                        g_lane = ts_slot[np.searchsorted(uc_l, g_lane)]
+                        lane_fields.update(ts_lo=ts_lo, ts_rel=ts_rel,
+                                           ts_span=config.ts_span)
+                    lane_fields["ds_laneg"] = g_lane.astype(np.int32)
                 ds_uc = None
                 if compact_ok:
                     # two-level gather: remap chunk gather indices into
@@ -1526,7 +1648,8 @@ def build_plan(
                     ds_kind=ds_kind, ds_ucols=ds_uc,
                     ds_gather_f32=(gf32_auto
                                    if config.ds_gather_f32 == "auto"
-                                   else bool(config.ds_gather_f32)))
+                                   else bool(config.ds_gather_f32)),
+                    **lane_fields)
 
     # -------------------- tiled band pair stream --------------------
     tiled_fields = {}

@@ -987,8 +987,21 @@ def spmm_pallas_padded(arrs, xp, plan, compute_dtype):
         ).astype(xp.dtype)
         buf = buf.at[arrs[f"band{i}_sw"]].set(part, mode="drop")
     missing = arrs.get("band_missing_sw")
-    if missing is not None and missing.shape[0]:
-        buf = buf.at[missing].set(jnp.zeros((), xp.dtype), mode="drop")
+    missing8 = arrs.get("band_missing_sw8")
+    if (missing is not None and missing.shape[0]) or (
+            missing8 is not None and missing8.shape[0]):
+        # aliased Pallas zero-fill: writes only the missing blocks,
+        # where the XLA scatter lowers to a full-buffer copy (757 us
+        # at YS@1.0, 1.6 ms at YH; tools/profile_parts.py).  Aligned
+        # runs of 8 supers write as single [8*bh, dp] blocks.
+        from hcspmm_tpu.kernels.tspill import zero_row_blocks
+
+        buf2 = buf.reshape(m, dp)
+        if missing8 is not None and missing8.shape[0]:
+            buf2 = zero_row_blocks(buf2, missing8, 8 * plan.band_h)
+        if missing is not None and missing.shape[0]:
+            buf2 = zero_row_blocks(buf2, missing, plan.band_h)
+        buf = buf2.reshape(num_sw, plan.band_h, dp)
     return apply_spill(buf.reshape(m, dp), arrs, xp, plan)
 
 

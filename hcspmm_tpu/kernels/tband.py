@@ -341,15 +341,35 @@ _SPILL_WIDE_MAX_TABLE_MB = 256.0
 
 
 def _tband_apply_spill(buf, arrs, xt, plan):
-    """Additive spill population for tband plans: spill rows/cols index the
-    ORIGINAL row space, so both operands transpose to [M, *] for the shared
-    merge machinery (kernels.block_spmm.apply_spill — dstream/bstream/take)
-    and the result transposes back.  Three [M, dt] relayout passes, only
-    paid when the plan actually carries spill."""
+    """Additive spill population for tband plans.
+
+    Lane path (default, ``config.spill_lane='auto'``): the whole merge
+    runs in the transposed orientation via kernels/tspill.py — per-edge
+    lane gathers from xt (or from an mxgather-built compact table past
+    the lane-table wall) feed the block-wide one-hot tbstream merge
+    aliased into ``buf``.  No full-array relayout passes.
+
+    Legacy path (``spill_lane='off'`` or lane arrays absent): both
+    operands transpose to [M, *] for the shared row-oriented merge
+    (kernels.block_spmm.apply_spill) and the result transposes back —
+    three [M, dt] passes, measured ~2.2 ms extra at YS@1.0
+    (tools/profile_parts.py)."""
     from hcspmm_tpu.kernels.block_spmm import _has_spill, apply_spill
 
     if not _has_spill(arrs, plan):
         return buf
+    if "ds_tlocal" in arrs:
+        from hcspmm_tpu.kernels.tspill import (mxgather_lanes,
+                                               tbstream_merge)
+
+        if "ts_lo" in arrs:
+            src = mxgather_lanes(xt, arrs["ts_lo"], arrs["ts_rel"],
+                                 span=plan.ts_span)
+        else:
+            src = xt
+        gathered = jnp.take(src, arrs["ds_laneg"], axis=1)
+        return tbstream_merge(gathered, arrs["ds_tlocal"], arrs["ds_lblk"],
+                              buf, group=plan.ds_lgroup)
     dt = buf.shape[0]
     tbl_mb = buf.shape[1] * 128 * jnp.dtype(xt.dtype).itemsize / 1e6
     # (measured on YS@1.0: padding a 1.7M-row space to 128 lanes for the
@@ -394,11 +414,10 @@ def spmm_tband_padded(arrs, xt, plan, compute_dtype):
     )
     extra = [i for i in nonempty if i != s_main]
     missing = arrs.get("band_missing_sw")
-    if extra or (missing is not None and missing.shape[0]):
-        # secondary buckets / uncovered supers: scatter whole [dt, bh]
-        # column blocks over the direct-write buffer (middle axis of the
-        # [dt, num_sw, bh] view; capacity-padded sw ids carry num_sw ->
-        # dropped)
+    if extra:
+        # secondary buckets: scatter whole [dt, bh] column blocks over
+        # the direct-write buffer (middle axis of the [dt, num_sw, bh]
+        # view; capacity-padded sw ids carry num_sw -> dropped)
         b3 = buf.reshape(dt, num_sw, bh)
         for i in extra:
             part = tband_spmm_bucket(
@@ -407,10 +426,21 @@ def spmm_tband_padded(arrs, xt, plan, compute_dtype):
             b3 = b3.transpose(1, 0, 2).at[arrs[f"band{i}_sw"]].set(
                 part.reshape(dt, sb, bh).transpose(1, 0, 2).astype(b3.dtype),
                 mode="drop").transpose(1, 0, 2)
-        if missing is not None and missing.shape[0]:
-            b3 = b3.transpose(1, 0, 2).at[missing].set(
-                jnp.zeros((), xt.dtype), mode="drop").transpose(1, 0, 2)
         buf = b3.reshape(dt, m)
+    missing8 = arrs.get("band_missing_sw8")
+    if (missing is not None and missing.shape[0]) or (
+            missing8 is not None and missing8.shape[0]):
+        # uncovered supers (their edges ride the spill population): an
+        # aliased Pallas zero-fill writes only the missing blocks — the
+        # XLA `.at[missing].set(0)` alternative lowers to a full-buffer
+        # copy (683 us measured at YS@1.0, tools/profile_parts.py).
+        # Aligned runs of 8 write as single [dt, 8*bh] blocks.
+        from hcspmm_tpu.kernels.tspill import zero_lane_blocks
+
+        if missing8 is not None and missing8.shape[0]:
+            buf = zero_lane_blocks(buf, missing8, 8 * bh)
+        if missing is not None and missing.shape[0]:
+            buf = zero_lane_blocks(buf, missing, bh)
     return _tband_apply_spill(buf, arrs, xt, plan)
 
 
