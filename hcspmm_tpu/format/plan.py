@@ -1109,7 +1109,7 @@ def build_plan(
             elif _nat:
                 covr_f, str_f, rest_cnt = _w.native_band_place(
                     rp64, column_index, n, bh, al, band_widths,
-                    mask=~tc_e)
+                    mask=~tc_e, num_sw=num_sw)
                 ne_rest = np.where(rest_cnt > 0)[0]
                 covr_b = covr_f[:, ne_rest]
                 str_b = str_f[:, ne_rest]

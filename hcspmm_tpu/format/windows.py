@@ -144,21 +144,24 @@ def native_band_robust(rp, ci, n: int, band_h: int, qs):
 
 
 def native_band_place(rp, ci, n: int, band_h: int, align: int, widths,
-                      mask=None):
+                      mask=None, num_sw: int = 0):
     """Native aligned band-window placement per (width, superwindow)
     (format.plan._place_band_windows ported).  ``mask`` selects edges
-    (CSR order).  Returns (cov[nb, num_sw], start[nb, num_sw],
-    cnt[num_sw]) or None when the native lib is unavailable."""
+    (CSR order).  ``num_sw`` > the row-derived count pads the trailing
+    (empty) superwindows with zeros — the planner rounds its super count
+    up to a multiple of 16 (format.plan).  Returns (cov[nb, num_sw],
+    start[nb, num_sw], cnt[num_sw]) or None when the native lib is
+    unavailable."""
     lib = _native_lib()
     if lib is None:
         return None
     rp32 = np.ascontiguousarray(rp, dtype=np.int32)
     ci32 = np.ascontiguousarray(ci, dtype=np.int32)
-    num_sw = (int(n) + band_h - 1) // band_h
+    nsw0 = (int(n) + band_h - 1) // band_h
     w_a = np.ascontiguousarray(widths, dtype=np.int64)
-    cov = np.empty((len(w_a), num_sw), dtype=np.int64)
-    start = np.empty((len(w_a), num_sw), dtype=np.int64)
-    cnt = np.empty(num_sw, dtype=np.int64)
+    cov = np.empty((len(w_a), nsw0), dtype=np.int64)
+    start = np.empty((len(w_a), nsw0), dtype=np.int64)
+    cnt = np.empty(nsw0, dtype=np.int64)
     if mask is None:
         mp = ctypes.POINTER(ctypes.c_uint8)()
     else:
@@ -170,6 +173,11 @@ def native_band_place(rp, ci, n: int, band_h: int, align: int, widths,
         _i64ptr(cnt))
     if rc != 0:
         return None
+    if num_sw and num_sw > nsw0:
+        pad = num_sw - nsw0
+        cov = np.pad(cov, ((0, 0), (0, pad)))
+        start = np.pad(start, ((0, 0), (0, pad)))
+        cnt = np.pad(cnt, (0, pad))
     return cov, start, cnt
 
 

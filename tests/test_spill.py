@@ -222,7 +222,11 @@ def test_partial_cover_padded_layout():
         band_h=256, band_widths=(512,)))
     p = op.plan
     assert not p.band_full_cover, "super 7 should drop to spill"
-    assert len(p.band_missing_sw) == 1 and int(p.band_missing_sw[0]) == 7
+    # super 7 drops to spill; supers >= ceil(n/bh) are the planner's
+    # 16-multiple round-up pads (format.plan) — also missing by design
+    real_sw = (n + 255) // 256
+    mm = set(int(v) for v in p.band_missing_sw)
+    assert 7 in mm and all(v == 7 or v >= real_sw for v in mm)
     assert p.sparse_nnz == 0, "spill-mode routing is total"
     assert op.supports_padded, "partial cover must keep the padded path"
     x = rng.randn(n, 24).astype(np.float32)
