@@ -1575,31 +1575,43 @@ def build_plan(
                     from hcspmm_tpu.kernels.dstream import (
                         build_bstream as _bb, pick_group as _pgl)
 
-                    # host cost model over candidate groups: per chunk
-                    # a ~400 ns fixed step (gathered/local streams, dot,
-                    # grid) + the [128, span] one-hot build (~0.0011 ns
-                    # per element, VPU-bound: span 4096 measured ~550 ns,
+                    # host cost model over candidate (group, chunk
+                    # width) pairs: per chunk a ~400 ns fixed step
+                    # (gathered/local streams, dot, grid) + the
+                    # [bw, span] one-hot build (~0.0011 ns per element,
+                    # VPU-bound: span 4096 measured ~550 ns at bw=128,
                     # 256 ~35 ns), per visited block a [dt, span] R/W
-                    # pair (dt=32 estimate).  Dense spills want small
+                    # pair (dt=32 estimate), plus the padding slots'
+                    # repeat-page gathers (~2 ns each — wider chunks cut
+                    # the fixed cost but inflate padding at low
+                    # edges-per-block fill).  Dense spills want small
                     # spans (one-hot cost per full chunk), diffuse ones
-                    # large (block-break chunks dominate) — YH picks 32,
-                    # AZ 4/8.
-                    def _lane_cost(g):
+                    # large (block-break chunks dominate) — YH picks
+                    # (16, 128), RD (8, 256), TT (4, 512).
+                    e_l = len(sp_rows_e)
+
+                    def _lane_cost(gb):
+                        g, bwm = gb
                         span_l = g * 128
+                        bw_l = bwm * 128
                         bc = np.bincount(sp_rows_e // span_l)
                         bc = bc[bc > 0]
-                        chunks_l = int((-(-bc // 128)).sum())
-                        oh_ns = 0.0011 * 128 * span_l
+                        chunks_l = int((-(-bc // bw_l)).sum())
+                        oh_ns = 0.0011 * bw_l * span_l
                         rw_ns = 2 * 32 * span_l * 2 / 819e9 * 1e9
+                        pad_ns = (chunks_l * bw_l - e_l) * 2.0
                         return (chunks_l * (400.0 + oh_ns)
-                                + len(bc) * rw_ns)
+                                + len(bc) * rw_ns + pad_ns)
 
-                    cand_g = [g for g in (4, 8, 16, 32)
-                              if mp % (g * 128) == 0]
-                    lg_grp = (min(cand_g, key=_lane_cost) if cand_g
-                              else _pgl(mp, max_group=32))
+                    cand_g = [(g, b) for g in (4, 8, 16, 32)
+                              if mp % (g * 128) == 0
+                              for b in (1, 2, 4, 8)]
+                    lg_grp, lg_bwm = (min(cand_g, key=_lane_cost)
+                                      if cand_g
+                                      else (_pgl(mp, max_group=32), 1))
                     lg_g, lg_l, lg_b, lg_grp = _bb(
-                        sp_rows_e, sp_cols_e, mp, pad_col=c, group=lg_grp)
+                        sp_rows_e, sp_cols_e, mp, pad_col=c, group=lg_grp,
+                        chunk_edges=lg_bwm * 128)
                     cl = len(lg_b)
                     lane_fields["ds_tlocal"] = (
                         lg_l[:cl].astype(np.int32)[:, :, None])

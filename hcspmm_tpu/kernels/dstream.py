@@ -145,7 +145,7 @@ def build_dstream(rows: np.ndarray, cols: np.ndarray, padded_rows: int,
 
 
 def build_bstream(rows: np.ndarray, cols: np.ndarray, padded_rows: int,
-                  pad_col: int, group: int = 0
+                  pad_col: int, group: int = 0, chunk_edges: int = 128
                   ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
     """BLOCK-wide chunking for the streamed merge (round-3 low-density
     fix).  ``build_dstream``'s chunks are destination-TILE-pure, so at
@@ -158,13 +158,23 @@ def build_bstream(rows: np.ndarray, cols: np.ndarray, padded_rows: int,
     MXU work is idle capacity in this regime (the spill population is
     gather-bound).
 
-    Returns (gcols [C*128] int32 take indices (pad ``pad_col``);
-    local [ceil(C/8)*8, 128] int32 — dst row within its G*128-row block,
-    sentinel G*128; blk [C] int32 — destination block per chunk,
-    nondecreasing; group).  One grid step per chunk.
+    ``chunk_edges`` (round 5, 128-multiple): edges per chunk.  Wider
+    chunks amortize the ~400 ns per-grid-step fixed cost of the merge
+    kernel over more edges (RD's 24k 128-edge chunks carried ~11.6 ms
+    of pure step overhead); the lane merge (kernels/tspill.py
+    tbstream_merge) consumes any width.  The row-path kernels
+    (_bstream_kernel) remain 128-edge only — callers of those keep the
+    default.
+
+    Returns (gcols [C*chunk_edges] int32 take indices (pad ``pad_col``);
+    local [ceil(C/8)*8, chunk_edges] int32 — dst row within its
+    G*128-row block, sentinel G*128; blk [C] int32 — destination block
+    per chunk, nondecreasing; group).  One grid step per chunk.
     """
     if not group:
         group = pick_group(padded_rows)
+    bw = int(chunk_edges)
+    assert bw % 128 == 0 and bw > 0, bw
     rows = np.asarray(rows, dtype=np.int64)
     cols = np.asarray(cols, dtype=np.int64)
     e = len(rows)
@@ -180,29 +190,29 @@ def build_bstream(rows: np.ndarray, cols: np.ndarray, padded_rows: int,
         bstart = np.zeros(bseg[-1] + 1, dtype=np.int64)
         bstart[bseg[new_b]] = np.where(new_b)[0]
         within = np.arange(e) - bstart[bseg]
-        newc = new_b | ((within & 127) == 0)
+        newc = new_b | (within % bw == 0)
         chunk_of = np.cumsum(newc) - 1
         c = int(chunk_of[-1]) + 1
         cstart = np.zeros(c, dtype=np.int64)
         cstart[chunk_of[newc]] = np.where(newc)[0]
         slot = np.arange(e) - cstart[chunk_of]
-        gcols = np.full(c * 128, pad_col, dtype=np.int32)
+        gcols = np.full(c * bw, pad_col, dtype=np.int32)
         lpad = -(-c // 8) * 8
-        local = np.full((lpad, 128), sent, dtype=np.int32)
-        gcols[chunk_of * 128 + slot] = cols.astype(np.int32)
+        local = np.full((lpad, bw), sent, dtype=np.int32)
+        gcols[chunk_of * bw + slot] = cols.astype(np.int32)
         local[chunk_of, slot] = (rows % span).astype(np.int32)
         blk = blko[newc].astype(np.int32)
         # pad slots re-fetch the chunk's first row (see build_dstream):
         # repeat-page gathers are much cheaper than a cold pad row, and
         # the sentinel local zeroes their contribution regardless
-        gv = gcols.reshape(c, 128)
+        gv = gcols.reshape(c, bw)
         csz = np.bincount(chunk_of, minlength=c)
-        padm = np.arange(128)[None, :] >= csz[:, None]
+        padm = np.arange(bw)[None, :] >= csz[:, None]
         gv[:] = np.where(padm, gv[:, :1], gv)
     else:
         c = 1
-        gcols = np.full(c * 128, pad_col, dtype=np.int32)
-        local = np.full((8, 128), sent, dtype=np.int32)
+        gcols = np.full(c * bw, pad_col, dtype=np.int32)
+        local = np.full((8, bw), sent, dtype=np.int32)
         blk = np.zeros(1, dtype=np.int32)
     return gcols, local, blk, group
 

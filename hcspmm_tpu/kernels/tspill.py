@@ -113,7 +113,7 @@ def zero_row_blocks(buf, ids, bh: int):
 
 
 def _tbstream_kernel(blk_ref, local_ref, gath_ref, prev_ref, out_ref,
-                     acc_ref, *, span, out_dtype, precision):
+                     acc_ref, *, span, bw, out_dtype, precision):
     s = pl.program_id(0)
     ns = pl.num_programs(0)
     first = jnp.logical_or(s == 0,
@@ -125,12 +125,12 @@ def _tbstream_kernel(blk_ref, local_ref, gath_ref, prev_ref, out_ref,
     def _():
         acc_ref[...] = prev_ref[...].astype(jnp.float32)
 
-    # local ids arrive [1, 128, 1]: a SUBLANE vector, so the one-hot
-    # builds directly in [128, span] orientation and the merge dot is
-    # the standard A@B form (both fast under Mosaic; the [span, 128]
+    # local ids arrive [1, bw, 1]: a SUBLANE vector, so the one-hot
+    # builds directly in [bw, span] orientation and the merge dot is
+    # the standard A@B form (both fast under Mosaic; the [span, bw]
     # lane-vector alternative forces a transposed-lhs dot)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (128, span), 1)
-    oh_t = (lane == local_ref[0]).astype(gath_ref.dtype)  # [128, span]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (bw, span), 1)
+    oh_t = (lane == local_ref[0]).astype(gath_ref.dtype)  # [bw, span]
     acc_ref[...] += jax.lax.dot_general(
         gath_ref[...], oh_t,
         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -146,18 +146,21 @@ def _tbstream_kernel(blk_ref, local_ref, gath_ref, prev_ref, out_ref,
 def tbstream_merge(gathered, local_t, blk, buf, *, group: int):
     """``buf + scatter-add of gathered columns by destination lane``.
 
-    gathered: [dt, C*128] — chunk c's 128 edge columns (already gathered
-    from the activation/compact table); local_t: int32 [C, 128, 1] —
-    each slot's destination lane within its ``group*128``-lane block
-    (sentinel group*128 drops); blk: int32 [C] nondecreasing destination
-    block ids; buf: [dt, M].  Lane twin of dstream.bstream_merge — same
-    chunking host meta (build_bstream), same revisit-accumulate scratch
-    pattern, one-hot dot per chunk on the MXU."""
+    gathered: [dt, C*bw] — chunk c's ``bw`` edge columns (already
+    gathered from the activation/compact table; bw = 128*batch, round-5
+    chunk batching amortizes the ~400 ns grid-step fixed cost);
+    local_t: int32 [C, bw, 1] — each slot's destination lane within its
+    ``group*128``-lane block (sentinel group*128 drops); blk: int32 [C]
+    nondecreasing destination block ids; buf: [dt, M].  Lane twin of
+    dstream.bstream_merge — same chunking host meta (build_bstream with
+    chunk_edges=bw), same revisit-accumulate scratch pattern, one
+    one-hot dot per chunk on the MXU."""
     dt, m = buf.shape
     span = group * 128
     assert m % span == 0, (m, group)
-    c = gathered.shape[1] // 128
-    assert local_t.shape == (c, 128, 1), (local_t.shape, c)
+    bw = local_t.shape[1]
+    c = gathered.shape[1] // bw
+    assert local_t.shape == (c, bw, 1), (local_t.shape, c, bw)
     precision = (jax.lax.Precision.HIGHEST
                  if gathered.dtype == jnp.float32
                  else jax.lax.Precision.DEFAULT)
@@ -165,9 +168,9 @@ def tbstream_merge(gathered, local_t, blk, buf, *, group: int):
         num_scalar_prefetch=1,                             # blk
         grid=(c,),
         in_specs=[
-            pl.BlockSpec((1, 128, 1), lambda i, b_: (i, 0, 0),
+            pl.BlockSpec((1, bw, 1), lambda i, b_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((dt, 128), lambda i, b_: (0, i),
+            pl.BlockSpec((dt, bw), lambda i, b_: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((dt, span), lambda i, b_: (0, b_[i]),
                          memory_space=pltpu.VMEM),
@@ -177,8 +180,8 @@ def tbstream_merge(gathered, local_t, blk, buf, *, group: int):
         scratch_shapes=[pltpu.VMEM((dt, span), jnp.float32)],
     )
     return pl.pallas_call(
-        functools.partial(_tbstream_kernel, span=span, out_dtype=buf.dtype,
-                          precision=precision),
+        functools.partial(_tbstream_kernel, span=span, bw=bw,
+                          out_dtype=buf.dtype, precision=precision),
         grid_spec=grid_spec,
         # flattened input index: blk(0), local(1), gathered(2), prev(3)
         input_output_aliases={3: 0},

@@ -83,6 +83,36 @@ def test_tbstream_merge_oracle():
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
 
 
+def test_tbstream_merge_batched_oracle():
+    """Round-5 chunk batching: bw = 256/512-edge chunks (chunk_edges)
+    must produce the same scatter-add as the 128-edge layout."""
+    rng = np.random.RandomState(5)
+    dt, m, group = 8, 4096, 4
+    e = 1800
+    rows = np.sort(rng.randint(0, m, size=e)).astype(np.int64)
+    xsrc = rng.randn(dt, e).astype(np.float32)
+    from hcspmm_tpu.kernels.dstream import build_bstream
+
+    cols = np.arange(e, dtype=np.int64)
+    for bw in (256, 512):
+        gcols, local, blk, grp = build_bstream(rows, cols, m, pad_col=e,
+                                               group=group,
+                                               chunk_edges=bw)
+        c = len(blk)
+        assert local.shape[1] == bw
+        local_t = local[:c].astype(np.int32)[:, :, None]
+        gathered = jnp.take(jnp.asarray(xsrc), jnp.asarray(gcols),
+                            axis=1, mode="clip")
+        buf = rng.randn(dt, m).astype(np.float32)
+        got = np.asarray(tbstream_merge(gathered, jnp.asarray(local_t),
+                                        jnp.asarray(blk),
+                                        jnp.asarray(buf), group=grp))
+        want = buf.copy()
+        for j in range(e):
+            want[:, rows[j]] += xsrc[:, j]
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
 def test_build_mx_chunks_invariants():
     rng = np.random.RandomState(3)
     m, span, k = 99_968, 1024, 64  # 128-multiple (padded lane space)
