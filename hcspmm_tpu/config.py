@@ -201,6 +201,14 @@ class PlanConfig:
     ts_table_mb: float = 48.0
     ts_span: int = 1024   # mxgather slab width (lanes)
     ts_k: int = 128       # mxgather cols per chunk
+    # Round-5 segmented second level: when the mxgather T1 table itself
+    # exceeds the hard lane-gather wall (measured ~2.2 ns/idx below
+    # ~17 MB vs ~13.3 ns above ~67 MB irrespective of access locality —
+    # tools/probe_loctake.py, artifacts/probe_loctake_r5.log),
+    # destination-segment tables (T2, duplicated unique cols) are built
+    # from static T1 pieces of at most this size, and every gather in
+    # the chain hits a sub-wall table.  0 disables.
+    ts2_table_mb: float = 16.0
     # Band-block compute wall: int8->bf16 convert + MXU dot seconds per
     # A ELEMENT (v5e measured: DD's 214M-element band ~450 us compute-
     # bound, docs/ROADMAP.md) — prices wide low-occupancy bands.

@@ -181,6 +181,18 @@ class ExecutionPlan:
     ts_lo: Optional[np.ndarray] = None      # int32 [C2] mxgather slab bases
     ts_rel: Optional[np.ndarray] = None     # int32 [C2, 1, K] in-slab offsets
     ts_span: int = 0                        # mxgather slab width (lanes)
+    # round-5 segmented second level (the gather-wall fix): per-edge lane
+    # takes run ~2.2 ns from tables under the ~dozens-MB wall but ~13 ns
+    # above it REGARDLESS of access locality (tools/probe_loctake.py /
+    # probe_wall.py, artifacts/probe_loctake_r5.log).  When the T1
+    # compact table exceeds the wall, destination-segment-local tables
+    # (T2) are built from T1 via small static PIECE slices — every
+    # gather in the chain then hits a sub-wall table.
+    ts2_segs: Optional[list] = None  # static meta per dst segment:
+    #   {'chunk_lo','chunk_hi' (merge-chunk range), 't2_w' (segment
+    #   table width), 'pieces': [(p_lo, p_w, r_off, r_cnt), ...]}
+    ts2_ranks: Optional[np.ndarray] = None  # int32 [U2] piece-relative
+    #   T1 slot of each segment-table column (duplicated across segments)
 
     # ---- banded (MXU block-band) path: one entry per band-width bucket ----
     band_h: int = 16                          # superwindow height (rows)
@@ -365,6 +377,8 @@ class ExecutionPlan:
                     if self.ts_lo is not None:
                         d["ts_lo"] = self.ts_lo
                         d["ts_rel"] = self.ts_rel
+                    if self.ts2_ranks is not None:
+                        d["ts2_ranks"] = self.ts2_ranks
         for b in range(len(self.bucket_widths)):
             d[f"b{b}_cols"] = self.bucket_cols[b]
             d[f"b{b}_a"] = self.bucket_a[b]
@@ -615,6 +629,76 @@ def _build_tiled_pairs(num_sw, bh, min_col, max_col, nonempty,
         pair_last=pair_last,
         tile_edges=tile_edges,
     )
+
+
+def _build_ts2_segments(cols2d: np.ndarray, uc_all: np.ndarray,
+                        slot_all: np.ndarray, t1_slots: int,
+                        cap_slots: int, piece_slots: int):
+    """Destination-segment table layout for the two-level lane gather
+    (the round-5 gather-wall fix; see ExecutionPlan.ts2_segs).
+
+    cols2d: int [C, bw] ORIGINAL column ids per merge-chunk slot (pads
+    repeat a real col of the same chunk); uc_all/slot_all: sorted global
+    unique cols and their T1 slot positions; cap_slots: max unique cols
+    per destination segment (the T2 sub-wall cap); piece_slots: T1
+    static-slice width for the T2 build takes.
+
+    Greedy: grow each segment chunk-by-chunk (exponential probe + bisect
+    on the unique-col count) until the cap.  Returns (segs static meta,
+    ranks int32 [U2] piece-relative, laneg int32 [C*bw]
+    segment-relative positions).  Every take in the resulting chain —
+    T1 piece -> segment table -> per-edge — sees a table under the wall.
+    """
+    c, bw = cols2d.shape
+    segs = []
+    ranks_parts: list = []
+    r_total = 0
+    laneg = np.empty(c * bw, np.int32)
+    c0 = 0
+    while c0 < c:
+        step = 64
+        u = None
+        cand = c0
+        while cand < c:
+            cand = min(c0 + step, c)
+            u = np.unique(cols2d[c0:cand])
+            if len(u) > cap_slots or cand == c:
+                break
+            step *= 2
+        if u is not None and len(u) > cap_slots and cand > c0 + 1:
+            lo_b, hi_b = c0 + 1, cand - 1
+            while lo_b < hi_b:  # last end with count <= cap
+                mid = (lo_b + hi_b + 1) // 2
+                if len(np.unique(cols2d[c0:mid])) <= cap_slots:
+                    lo_b = mid
+                else:
+                    hi_b = mid - 1
+            c1 = lo_b
+            u = np.unique(cols2d[c0:c1])
+        else:
+            c1 = cand
+        su = slot_all[np.searchsorted(uc_all, u)].astype(np.int64)
+        pieces = []
+        k0 = 0
+        while k0 < len(su):
+            p_lo = (int(su[k0]) // piece_slots) * piece_slots
+            p_w = min(piece_slots, t1_slots - p_lo)
+            k1 = int(np.searchsorted(su, p_lo + p_w))
+            pieces.append((p_lo, p_w, r_total + k0, k1 - k0))
+            k0 = k1
+        ranks_parts.append(su)
+        r_total += len(su)
+        sl = cols2d[c0:c1].reshape(-1)
+        laneg[c0 * bw: c1 * bw] = np.searchsorted(u, sl).astype(np.int32)
+        segs.append(dict(chunk_lo=int(c0), chunk_hi=int(c1),
+                         t2_w=int(len(u)), pieces=pieces))
+        c0 = c1
+    ranks = np.concatenate(ranks_parts) if ranks_parts else \
+        np.zeros(0, np.int64)
+    for s in segs:
+        for (p_lo, _p_w, r0, cnt) in s["pieces"]:
+            ranks[r0:r0 + cnt] -= p_lo
+    return segs, ranks.astype(np.int32), laneg
 
 
 def build_plan(
@@ -1634,9 +1718,28 @@ def build_plan(
                         uc_l = np.unique(g_lane)
                         ts_lo, ts_rel, ts_slot = build_mx_chunks(
                             uc_l, config.ts_span, config.ts_k, mp)
-                        g_lane = ts_slot[np.searchsorted(uc_l, g_lane)]
                         lane_fields.update(ts_lo=ts_lo, ts_rel=ts_rel,
                                            ts_span=config.ts_span)
+                        # round-5 segmented second level: when T1 itself
+                        # exceeds the hard gather wall, per-edge takes
+                        # from it run ~13 ns regardless of locality
+                        # (probe_loctake_r5) — build destination-segment
+                        # tables so every take hits a sub-wall table
+                        t1_slots = len(ts_lo) * config.ts_k
+                        cap_slots = int(config.ts2_table_mb * 1e6
+                                        / (32 * el_b))
+                        bw_l = lg_bwm * 128
+                        if (config.ts2_table_mb > 0
+                                and t1_slots > cap_slots):
+                            segs2, ranks2, laneg2 = _build_ts2_segments(
+                                g_lane.reshape(cl, bw_l), uc_l, ts_slot,
+                                t1_slots, cap_slots, cap_slots)
+                            lane_fields.update(ts2_segs=segs2,
+                                               ts2_ranks=ranks2)
+                            g_lane = laneg2
+                        else:
+                            g_lane = ts_slot[
+                                np.searchsorted(uc_l, g_lane)]
                     lane_fields["ds_laneg"] = g_lane.astype(np.int32)
                 ds_uc = None
                 if compact_ok:

@@ -360,6 +360,7 @@ def _tband_apply_spill(buf, arrs, xt, plan):
         return buf
     if "ds_tlocal" in arrs:
         from hcspmm_tpu.kernels.tspill import (mxgather_lanes,
+                                               segmented_gather,
                                                tbstream_merge)
 
         if "ts_lo" in arrs:
@@ -367,7 +368,13 @@ def _tband_apply_spill(buf, arrs, xt, plan):
                                  span=plan.ts_span)
         else:
             src = xt
-        gathered = jnp.take(src, arrs["ds_laneg"], axis=1)
+        if "ts2_ranks" in arrs and getattr(plan, "ts2_segs", None):
+            # segmented second level: every take below the gather wall
+            gathered = segmented_gather(
+                src, arrs["ts2_ranks"], arrs["ds_laneg"], plan.ts2_segs,
+                bw=arrs["ds_tlocal"].shape[1])
+        else:
+            gathered = jnp.take(src, arrs["ds_laneg"], axis=1)
         return tbstream_merge(gathered, arrs["ds_tlocal"], arrs["ds_lblk"],
                               buf, group=plan.ds_lgroup)
     dt = buf.shape[0]

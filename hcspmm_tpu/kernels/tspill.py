@@ -190,6 +190,39 @@ def tbstream_merge(gathered, local_t, blk, buf, *, group: int):
     )(blk, local_t, gathered, buf)
 
 
+def segmented_gather(t1, ranks, laneg, segs, bw: int):
+    """Per-edge spill gather through destination-segment tables (the
+    round-5 gather-wall fix; plan.ts2_segs / format.plan
+    _build_ts2_segments).
+
+    t1: [dt, T1w] compact col-major table (mxgather output); ranks:
+    int32 [U2] piece-relative T1 slots; laneg: int32 [C*bw]
+    segment-relative per-slot positions; segs: static per-segment meta.
+    Returns gathered [dt, C*bw] in merge-chunk order.
+
+    Every take here sees a sub-wall table: T1 is consumed via static
+    pieces <= the wall, each segment table is <= the wall by
+    construction, and the per-edge takes hit the segment tables.
+    Measured motivation (artifacts/probe_loctake_r5.log): lane gathers
+    run ~2.2 ns/idx below ~17 MB and ~13.3 ns above ~67 MB, with access
+    locality contributing NOTHING — only physically small tables are
+    fast."""
+    parts = []
+    for s in segs:
+        tparts = []
+        for (p_lo, p_w, r0, cnt) in s["pieces"]:
+            if cnt == 0:
+                continue
+            piece = jax.lax.slice_in_dim(t1, p_lo, p_lo + p_w, axis=1)
+            tparts.append(jnp.take(piece, ranks[r0:r0 + cnt], axis=1,
+                                   mode="clip"))
+        seg_tbl = (tparts[0] if len(tparts) == 1
+                   else jnp.concatenate(tparts, axis=1))
+        sl = laneg[s["chunk_lo"] * bw: s["chunk_hi"] * bw]
+        parts.append(jnp.take(seg_tbl, sl, axis=1, mode="clip"))
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+
+
 # ---------------------------------------------------------------------------
 # mxgather: compact-table build from the transposed layout
 # ---------------------------------------------------------------------------

@@ -62,6 +62,34 @@ def test_tband_spill_matches_oracle():
     assert err < 1e-5, f"rel err {err}"
 
 
+def test_tband_spill_segmented_gather_matches_oracle():
+    """Round-5 segmented second level (plan.ts2_segs): tiny wall caps
+    force mxgather T1 + destination-segment T2 tables on a small graph;
+    the whole chain must still match the dense oracle."""
+    rp, ci, nn = small_graph(1400, 9, span=1300)
+    cfg = _cfg(band_widths=(128,), band_mode="auto",
+               ts_table_mb=1e-3, ts_span=256, ts_k=32,
+               ts2_table_mb=48 * 64 / 1e6)  # cap = 48 slots
+    op = HybridSpMM(rp, ci, nn, cfg)
+    assert op.plan.spill_nnz > 0
+    assert op.plan.ts_lo is not None, "T1 must be built at this cap"
+    assert getattr(op.plan, "ts2_segs", None), "T2 must trigger"
+    assert len(op.plan.ts2_segs) > 1, "must actually segment"
+    # segment invariants: chunk ranges tile [0, C); per-seg width matches
+    cl = len(op.plan.ds_lblk)
+    lo = 0
+    for s in op.plan.ts2_segs:
+        assert s["chunk_lo"] == lo
+        lo = s["chunk_hi"]
+        assert sum(p[3] for p in s["pieces"]) == s["t2_w"]
+    assert lo == cl
+    x = np.random.RandomState(3).randn(nn, 16).astype(np.float32)
+    z = np.asarray(jax.jit(op)(jnp.asarray(x)))
+    zref = spmm_reference_dense(rp, ci, nn, x)
+    err = np.abs(z - zref).max() / (np.abs(zref).max() + 1e-9)
+    assert err < 1e-5, f"rel err {err}"
+
+
 def test_tband_multi_bucket_and_missing_supers():
     # two-width ladder + partial cover (dropped supers ride the spill)
     rp, ci, nn = small_graph(700, 10, span=500)
