@@ -190,9 +190,16 @@ class ExecutionPlan:
     # gather in the chain then hits a sub-wall table.
     ts2_segs: Optional[list] = None  # static meta per dst segment:
     #   {'chunk_lo','chunk_hi' (merge-chunk range), 't2_w' (segment
-    #   table width), 'pieces': [(p_lo, p_w, r_off, r_cnt), ...]}
+    #   table width), 'pieces': [(p_lo, p_w, r_off, r_cnt), ...]
+    #   (seg-major view), 'parts': [(piece_idx, off, cnt), ...]
+    #   (slices of the piece-major take results reassembling the
+    #   segment table)}
+    ts2_pieces: Optional[list] = None  # piece-major build schedule:
+    #   [(p_lo, p_w, rank_start, rank_cnt), ...] — one take per T1
+    #   piece (T1 cycles the gather cache exactly once)
     ts2_ranks: Optional[np.ndarray] = None  # int32 [U2] piece-relative
-    #   T1 slot of each segment-table column (duplicated across segments)
+    #   T1 slot of each segment-table column (duplicated across
+    #   segments), PIECE-MAJOR order (matches ts2_pieces)
 
     # ---- banded (MXU block-band) path: one entry per band-width bucket ----
     band_h: int = 16                          # superwindow height (rows)
@@ -698,7 +705,36 @@ def _build_ts2_segments(cols2d: np.ndarray, uc_all: np.ndarray,
     for s in segs:
         for (p_lo, _p_w, r0, cnt) in s["pieces"]:
             ranks[r0:r0 + cnt] -= p_lo
-    return segs, ranks.astype(np.int32), laneg
+    # ---- piece-major reorder (round-5 cache-cycling fix) ----
+    # The gather 'cache' is ~16-24 MB and warms only via gather misses
+    # (~68 us/MB; tools/probe_workset.py eight16/x4acc/touch rows), so a
+    # segment-major build would cycle every T1 piece through it once PER
+    # SEGMENT.  Reordering the build piece-major cycles T1 exactly once:
+    # one take per piece over all segments' ranks, then the segment
+    # tables reassemble from static slices of the piece results (pure
+    # copies at stream bandwidth).
+    piece_map: dict = {}
+    for si, s in enumerate(segs):
+        for (p_lo, p_w, r0, cnt) in s["pieces"]:
+            piece_map.setdefault((p_lo, p_w), []).append((si, r0, cnt))
+    pieces_pm = []
+    ranks_pm_parts = []
+    seg_parts: list = [[] for _ in segs]
+    off = 0
+    for pi, (p_lo, p_w) in enumerate(sorted(piece_map)):
+        start = off
+        innoff = 0
+        for (si, r0, cnt) in piece_map[(p_lo, p_w)]:
+            ranks_pm_parts.append(ranks[r0:r0 + cnt])
+            seg_parts[si].append((pi, innoff, cnt))
+            innoff += cnt
+            off += cnt
+        pieces_pm.append((int(p_lo), int(p_w), int(start), int(innoff)))
+    ranks_pm = (np.concatenate(ranks_pm_parts) if ranks_pm_parts
+                else np.zeros(0, np.int64))
+    for si, s in enumerate(segs):
+        s["parts"] = seg_parts[si]
+    return (segs, pieces_pm, ranks_pm.astype(np.int32), laneg)
 
 
 def build_plan(
@@ -1731,10 +1767,13 @@ def build_plan(
                         bw_l = lg_bwm * 128
                         if (config.ts2_table_mb > 0
                                 and t1_slots > cap_slots):
-                            segs2, ranks2, laneg2 = _build_ts2_segments(
-                                g_lane.reshape(cl, bw_l), uc_l, ts_slot,
-                                t1_slots, cap_slots, cap_slots)
+                            segs2, pieces2, ranks2, laneg2 = \
+                                _build_ts2_segments(
+                                    g_lane.reshape(cl, bw_l), uc_l,
+                                    ts_slot, t1_slots, cap_slots,
+                                    cap_slots)
                             lane_fields.update(ts2_segs=segs2,
+                                               ts2_pieces=pieces2,
                                                ts2_ranks=ranks2)
                             g_lane = laneg2
                         else:

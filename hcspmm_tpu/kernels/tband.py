@@ -372,7 +372,7 @@ def _tband_apply_spill(buf, arrs, xt, plan):
             # segmented second level: every take below the gather wall
             gathered = segmented_gather(
                 src, arrs["ts2_ranks"], arrs["ds_laneg"], plan.ts2_segs,
-                bw=arrs["ds_tlocal"].shape[1])
+                plan.ts2_pieces, bw=arrs["ds_tlocal"].shape[1])
         else:
             gathered = jnp.take(src, arrs["ds_laneg"], axis=1)
         return tbstream_merge(gathered, arrs["ds_tlocal"], arrs["ds_lblk"],

@@ -190,32 +190,37 @@ def tbstream_merge(gathered, local_t, blk, buf, *, group: int):
     )(blk, local_t, gathered, buf)
 
 
-def segmented_gather(t1, ranks, laneg, segs, bw: int):
+def segmented_gather(t1, ranks, laneg, segs, pieces, bw: int):
     """Per-edge spill gather through destination-segment tables (the
     round-5 gather-wall fix; plan.ts2_segs / format.plan
     _build_ts2_segments).
 
     t1: [dt, T1w] compact col-major table (mxgather output); ranks:
-    int32 [U2] piece-relative T1 slots; laneg: int32 [C*bw]
-    segment-relative per-slot positions; segs: static per-segment meta.
-    Returns gathered [dt, C*bw] in merge-chunk order.
+    int32 [U2] piece-relative T1 slots in PIECE-MAJOR order; laneg:
+    int32 [C*bw] segment-relative per-slot positions; segs/pieces:
+    static meta.  Returns gathered [dt, C*bw] in merge-chunk order.
 
-    Every take here sees a sub-wall table: T1 is consumed via static
-    pieces <= the wall, each segment table is <= the wall by
-    construction, and the per-edge takes hit the segment tables.
-    Measured motivation (artifacts/probe_loctake_r5.log): lane gathers
-    run ~2.2 ns/idx below ~17 MB and ~13.3 ns above ~67 MB, with access
-    locality contributing NOTHING — only physically small tables are
-    fast."""
+    Two measured facts shape this (tools/probe_loctake.py /
+    probe_workset.py, artifacts/probe_loctake_r5.log): (1) lane gathers
+    run ~2.2 ns/idx only from tables that fit the ~16-24 MB gather
+    cache (6.1 at 32 MB, 13.3 from 48 MB up), with access locality
+    contributing NOTHING; (2) the cache warms only via gather misses at
+    ~68 us/MB, so each table cycled through it is paid once per pass.
+    Hence: the build runs PIECE-MAJOR (one take per sub-wall T1 piece —
+    T1 cycles the cache exactly once), segment tables reassemble from
+    static slices of the piece results (pure copies at stream
+    bandwidth), and the per-edge takes hit each sub-wall segment table
+    over one contiguous stretch of chunks (one warm per segment)."""
+    piece_res = []
+    for (p_lo, p_w, r0, cnt) in pieces:
+        piece = jax.lax.slice_in_dim(t1, p_lo, p_lo + p_w, axis=1)
+        piece_res.append(jnp.take(piece, ranks[r0:r0 + cnt], axis=1,
+                                  mode="clip"))
     parts = []
     for s in segs:
-        tparts = []
-        for (p_lo, p_w, r0, cnt) in s["pieces"]:
-            if cnt == 0:
-                continue
-            piece = jax.lax.slice_in_dim(t1, p_lo, p_lo + p_w, axis=1)
-            tparts.append(jnp.take(piece, ranks[r0:r0 + cnt], axis=1,
-                                   mode="clip"))
+        tparts = [jax.lax.slice_in_dim(piece_res[pi], off, off + cnt,
+                                       axis=1)
+                  for (pi, off, cnt) in s["parts"] if cnt]
         seg_tbl = (tparts[0] if len(tparts) == 1
                    else jnp.concatenate(tparts, axis=1))
         sl = laneg[s["chunk_lo"] * bw: s["chunk_hi"] * bw]

@@ -82,7 +82,11 @@ def test_tband_spill_segmented_gather_matches_oracle():
         assert s["chunk_lo"] == lo
         lo = s["chunk_hi"]
         assert sum(p[3] for p in s["pieces"]) == s["t2_w"]
+        assert sum(p[2] for p in s["parts"]) == s["t2_w"]
     assert lo == cl
+    # piece-major schedule covers all ranks exactly once
+    assert sum(p[3] for p in op.plan.ts2_pieces) == \
+        len(op.plan.ts2_ranks)
     x = np.random.RandomState(3).randn(nn, 16).astype(np.float32)
     z = np.asarray(jax.jit(op)(jnp.asarray(x)))
     zref = spmm_reference_dense(rp, ci, nn, x)

@@ -66,16 +66,27 @@ def main() -> int:
                                               ).sum()
         return v.at[:1, :1].add(s.astype(v.dtype) * 1e-30)
 
+    has_ts2 = getattr(plan, "ts2_segs", None) and "ts2_ranks" in f
     if has_ts:
         u = int(plan.ts_lo.shape[0] * plan.ts_rel.shape[2])
         timed("mxgather",
               lambda a, v: fold(v, mxgather_lanes(
                   v, a["ts_lo"], a["ts_rel"], span=plan.ts_span)), u)
 
-        def ap_take(a, v):
-            src = mxgather_lanes(v, a["ts_lo"], a["ts_rel"],
-                                 span=plan.ts_span)
-            return fold(v, jnp.take(src, a["ds_laneg"], axis=1))
+        if has_ts2:
+            from hcspmm_tpu.kernels.tspill import segmented_gather
+
+            def ap_take(a, v):
+                src = mxgather_lanes(v, a["ts_lo"], a["ts_rel"],
+                                     span=plan.ts_span)
+                return fold(v, segmented_gather(
+                    src, a["ts2_ranks"], a["ds_laneg"], plan.ts2_segs,
+                    plan.ts2_pieces, bw=a["ds_tlocal"].shape[1]))
+        else:
+            def ap_take(a, v):
+                src = mxgather_lanes(v, a["ts_lo"], a["ts_rel"],
+                                     span=plan.ts_span)
+                return fold(v, jnp.take(src, a["ds_laneg"], axis=1))
     else:
         def ap_take(a, v):
             return fold(v, jnp.take(v, a["ds_laneg"], axis=1))
@@ -103,6 +114,9 @@ def main() -> int:
         "chunks": int(f["ds_lblk"].shape[0]),
         "lgroup": plan.ds_lgroup,
         "ts": has_ts,
+        "ts2_segs": (len(plan.ts2_segs) if has_ts2 else 0),
+        "ts2_u2": (int(f["ts2_ranks"].shape[0]) if has_ts2 else 0),
+        "bw": int(f["ds_tlocal"].shape[1]),
         "ts_chunks": int(f["ts_lo"].shape[0]) if has_ts else 0,
         "missing": int(mis.shape[0]) if mis is not None else 0,
     }), flush=True)
