@@ -69,9 +69,6 @@ def main() -> int:
     # tools/hw_tband.py: DD/dim32 wide 302-546 us -> tband 178-365)
     band_impl = os.environ.get(
         "HCSPMM_BENCH_BAND_IMPL", "tband" if dim <= 64 else "wide")
-    # narrow-dim folded layout (config.band_fold): fold=4 packs 4 rows
-    # per 128-lane VMEM row for dim<=32 (the reference SAG shape)
-    band_fold = int(os.environ.get("HCSPMM_BENCH_FOLD", 1))
 
     import jax
 
@@ -135,9 +132,6 @@ def main() -> int:
         extra["band_h"] = band_h
     if band_widths:
         extra["band_widths"] = tuple(int(v) for v in band_widths.split(","))
-    if band_fold > 1:
-        extra["band_fold"] = band_fold
-        band = "always"  # folded plans need full band coverage (format.plan)
     spill_impl = os.environ.get("HCSPMM_BENCH_SPILL", "")
     if spill_impl:  # default: PlanConfig's (dstream)
         extra["spill_impl"] = spill_impl
@@ -212,14 +206,12 @@ def main() -> int:
             + int(plan.pair_fetch.sum()) * plan.tile_w * dp * xbytes  # X
         )
     else:
-        # folded layouts stream X/output at 1/fold of the lane-padded
         # footprint (A is unchanged)
-        fold = getattr(plan, "band_fold", 1)
         band_bytes = sum(
             len(plan.band_sw_ids[s])
             * (plan.band_h * plan.band_widths[s])         # A int8
             + len(plan.band_sw_ids[s])
-            * (plan.band_widths[s] * dp * xbytes // fold)  # X band
+            * (plan.band_widths[s] * dp * xbytes)  # X band
             for s in range(len(plan.band_widths))
         )
     # gather-path traffic (nonzero when coverage is partial / band off):
@@ -237,7 +229,7 @@ def main() -> int:
         for b in range(len(plan.bucket_widths))
     )
     gather_bytes = gather_rows * dp * 4 + dense_a_bytes
-    out_bytes = nn * dp * xbytes // getattr(plan, "band_fold", 1)
+    out_bytes = nn * dp * xbytes
     total_bytes = band_bytes + gather_bytes + out_bytes  # + output
     hbm_gbps = 970.0  # measured effective on this chip (tools/profile_band)
     roofline_us = total_bytes / hbm_gbps / 1e3
@@ -270,14 +262,9 @@ def main() -> int:
                 "mode": mode,
                 "layout": layout,
                 "band_impl": ("tiled" if getattr(plan, "tiled", False)
-                              else "ring" if any(
-                                  r is not None
-                                  for r in getattr(plan, "band_ring", []))
                               else "wide"),
                 "spill_impl": ("dstream"
                                if getattr(plan, "ds_blk", None) is not None
-                               else "colstream"
-                               if getattr(plan, "cs_tile", None) is not None
                                else "take"),
                 "impl": impl,
                 "graph": graph,
@@ -289,7 +276,6 @@ def main() -> int:
                 "sparse_nnz": plan.sparse_nnz,
                 "spill_nnz": plan.spill_nnz,
                 "band_widths": list(plan.band_widths),
-                "band_fold": getattr(plan, "band_fold", 1),
                 "total_windows": (nn + 15) // 16,
                 "prep_s": round(prep_s, 3),
                 "reorder_s": round(reorder_s, 3),

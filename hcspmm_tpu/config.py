@@ -149,11 +149,11 @@ class PlanConfig:
     # 'never' restores strict full-extent selection (round-1 behavior).
     band_spill: str = "auto"
     # Spill gather implementation: 'take' = XLA row gather + sorted
-    # segment-sum (production round 1); 'colstream' = column-streamed MXU
-    # one-hot gather (kernels/colstream.py) + scatter-add merge —
-    # sequential 32 KB tile DMAs instead of random row fetches;
+    # segment-sum (production round 1);
     # 'dstream' (round-2 default) = XLA take gather + dst-streamed Pallas
     # one-hot merge aliased into the padded output (kernels/dstream.py).
+    # (A 'colstream' column-streamed MXU gather existed rounds 1-4 and
+    # was pruned: measured slower than take in every configuration.)
     # Hardware decided (artifacts/round2_hw.jsonl): the XLA MERGE, not
     # the gather, was the spill wall (segsum 7.5 + scatter 13.7 ns/row vs
     # take 3.9); dstream replaces the merge.  Measured end-to-end numbers
@@ -231,14 +231,10 @@ class PlanConfig:
     # (N x band width) dominate band-path HBM traffic on low-degree
     # graphs; int4 halves them (values are {0,1}, so 4 bits are plenty).
     a_dtype: str = "int8"
-    # Narrow-dim folded layout (VERDICT r1 #2, reference dim-32 fast path
-    # .cu:1321-1476): fold consecutive rows of X/output into one 128-lane
-    # VMEM row (fold=4 -> 32 lanes per row), so dim <= 128/fold stops
-    # paying the 128-lane floor — X + output band traffic shrink fold x
-    # while the A stream is unchanged.  Requires impl='pallas', band
-    # coverage via band_spill='auto' (clamp alignment may spill a few
-    # edges), and every model dim <= 128/fold.  1 = off.
-    band_fold: int = 1
+    # (round-5 prune: the band_fold narrow-dim folded layout was deleted
+    # — measured 1.7x slower than unfolded at dim 32 [32/128 MXU output
+    # lanes]; band_impl='tband' is the narrow-dim fast path.  Record in
+    # docs/ROADMAP.md round 3 / artifacts/round3_hw.jsonl.)
     # Cost-model constants for the band-vs-gather decision, measured on
     # v5e.  Gathered rows (ELL slots / spill edges) go through the random
     # row-gather path whose measured effective bandwidth is take_gbps

@@ -135,13 +135,10 @@ class ExecutionPlan:
     spill_rows: Optional[np.ndarray] = None      # int32 [Rp] global row ids
     spill_edge_col: Optional[np.ndarray] = None  # int32 [Ep], pad num_cols
     spill_edge_seg: Optional[np.ndarray] = None  # int32 [Ep] -> pos (pad Rp)
-    # column-streamed spill gather (config.spill_impl='colstream',
-    # kernels/colstream.py): chunked col-sorted edge layout.  Built for
-    # square pallas unfolded plans only; the take arrays above are always
-    # present as the fallback/oracle.
-    cs_tile: Optional[np.ndarray] = None   # int32 [C] 128-aligned X bases
-    cs_cols: Optional[np.ndarray] = None   # int32 [C, 128], pad 128
-    cs_rows: Optional[np.ndarray] = None   # int32 [C*128], pad INT32_MAX
+    # (round-5 prune: the 'colstream' column-streamed gather layout and
+    # its cs_* arrays were deleted — hardware showed the MERGE, not the
+    # gather, was the spill wall, and no config selected it; measurement
+    # record in docs/ROADMAP.md rounds 2-3.)
     # dst-streamed spill merge (config.spill_impl='dstream',
     # kernels/dstream.py): dst-sorted chunks, Pallas one-hot segment
     # merge aliased into the padded output.  Pallas plans only; the take
@@ -217,15 +214,16 @@ class ExecutionPlan:
         default_factory=lambda: np.zeros(0, dtype=np.int32))
     #   int32 [miss] supers in NO band bucket (partial cover): the padded
     #   SpMM zeroes their output blocks before the spill add
-    band_ring: List[Optional[dict]] = dataclasses.field(default_factory=list)
-    #   per bucket: fetch-once X ring schedule (band_impl='ring',
-    #   kernels/ring_band.py) — {'pos','ftile','fslot','fvalid','flate'}
-    #   in the bucket's (start-sorted) grid order, or None
+    # (round-5 prune: the 'ring' fetch-once X band kernel and its
+    # band_ring schedules were deleted — measured 766-776 us vs wide's
+    # 510-522 at DD/dim96 because the A convert+dot wall sits under the
+    # bytes it saved; record in docs/ROADMAP.md round 3.)
     band_full_cover: bool = False  # every superwindow band-assigned ->
     #   direct-write kernels produce the output in place, no merge pass
-    band_fold: int = 1  # narrow-dim folded layout (config.band_fold):
-    #   activations fold ``band_fold`` consecutive rows into one 128-lane
-    #   VMEM row; band starts stay in ORIGINAL columns (16*fold-aligned),
+    # (round-5 prune: the band_fold narrow-dim folded layout was deleted
+    #   — its [bh, W] @ [W, 32] dots filled 32/128 MXU output lanes and
+    #   measured 1.7x slower than unfolded at dim 32; the transposed band
+    #   (band_impl='tband') replaced it as the narrow-dim fast path.
     #   A blocks keep their natural [Sb, bh, Bb] layout (see
     #   kernels.block_spmm._band_body_deep)
     tband: bool = False  # transposed band (config.band_impl='tband',
@@ -366,10 +364,6 @@ class ExecutionPlan:
             d["spill_rows"] = self.spill_rows
             d["spill_edge_col"] = self.spill_edge_col
             d["spill_edge_seg"] = self.spill_edge_seg
-            if self.cs_tile is not None:
-                d["cs_tile"] = self.cs_tile
-                d["cs_cols"] = self.cs_cols
-                d["cs_rows"] = self.cs_rows
             if self.ds_blk is not None:
                 d["ds_gcols"] = self.ds_gcols
                 d["ds_local"] = self.ds_local
@@ -445,22 +439,7 @@ class ExecutionPlan:
                         at = pack_a_bits(at)
                     d[f"band{s}_at"] = at
             elif dense_band and not self.tiled:
-                a = self.band_a_dense(s)
-                if self.band_fold > 1 and a.size:
-                    # folded-layout A permutation (kernels/block_spmm
-                    # _band_body_deep fold>1): rows fold*j'+ko ->
-                    # ko*(bh/f)+j', cols fold*j+ki -> ki*(W/f)+j, so the
-                    # kernel's unfold/refold become static lane/sublane
-                    # slices + concats (Mosaic rejects the sublane<->lane
-                    # reshape the natural layout would need)
-                    sb, bh, w = a.shape
-                    f = self.band_fold
-                    a = (a.reshape(sb, bh // f, f, w)
-                          .transpose(0, 2, 1, 3)
-                          .reshape(sb, bh, w // f, f)
-                          .transpose(0, 1, 3, 2)
-                          .reshape(sb, bh, w))
-                d[f"band{s}_a"] = a
+                d[f"band{s}_a"] = self.band_a_dense(s)
             # pad to capacity for uniform shard stacking / grouped grid
             # steps; padded entries point at the direct-write buffer's
             # trash block (index num_superwindows, see kernels.block_spmm)
@@ -470,10 +449,6 @@ class ExecutionPlan:
                 self.band_sw_ids[s].astype(np.int32),
                 self.band_starts[s].shape[0], num_sw,
             )
-            if s < len(self.band_ring) and self.band_ring[s] is not None:
-                rs = self.band_ring[s]
-                d[f"band{s}_rpos"] = rs["pos"]
-                d[f"band{s}_rsched"] = rs["sched"]
         return d
 
 
@@ -803,41 +778,13 @@ def build_plan(
         # must stay 16-aligned: the kernels assert that to Mosaic via
         # pl.multiple_of on the dynamic HBM slice
         raise ValueError("band widths must be multiples of 16")
-    fold = int(getattr(config, "band_fold", 1))
-    if fold > 1:
-        # narrow-dim folded layout: starts must stay 16-aligned in
-        # FOLDED units -> 16*fold in original columns; the folded output
-        # block is [band_h/fold, 128]
-        if fold not in (2, 4):
-            raise ValueError("band_fold must be 1, 2 or 4")
-        if config.impl != "pallas":
-            raise ValueError("band_fold > 1 requires impl='pallas'")
-        if config.band_spill != "auto":
-            raise ValueError("band_fold > 1 requires band_spill='auto' "
-                             "(clamp alignment may spill a few edges)")
-        if config.band_impl == "tiled":
-            raise ValueError("band_fold > 1 requires band_impl='wide'")
-        if not band_widths:
-            raise ValueError("band_fold > 1 requires the band path "
-                             "(band_mode != 'never')")
-        if bh % (16 * fold):
-            # folded output blocks are [band_h/fold, 128]; bh/fold must
-            # stay a multiple of the bf16 sublane tile (16)
-            raise ValueError("band_h must be a multiple of 16*band_fold")
-        if any(int(w) % (16 * fold) for w in band_widths):
-            raise ValueError(
-                f"band widths must be multiples of {16 * fold} "
-                f"(band_fold={fold})")
-    al = 16 * fold  # band-start alignment in original columns
+    al = 16  # band-start alignment in original columns
     tband = bool(band_widths) and config.band_impl == "tband"
     if tband:
         # transposed band (kernels/tband.py): X^T lane slices need
         # 128-aligned starts; A_t blocks are [W, bh] with bh on lanes
         if config.impl != "pallas":
             raise ValueError("band_impl='tband' requires impl='pallas'")
-        if fold > 1:
-            raise ValueError("band_impl='tband' excludes band_fold > 1 "
-                             "(the transposed layout replaces folding)")
         if num_cols != num_nodes:
             raise ValueError("band_impl='tband' requires square plans")
         if bh % 128:
@@ -865,7 +812,6 @@ def build_plan(
     band_starts: List[np.ndarray] = []
     band_edges: List[np.ndarray] = []
     band_sw_ids: List[np.ndarray] = []
-    band_ring_scheds: List[Optional[dict]] = []
     band_window_mask = np.zeros(wa.num_windows, dtype=bool)
     xp_rows = c + 1
     band_nnz = 0
@@ -1385,9 +1331,6 @@ def build_plan(
             np.minimum(bucket_sw, len(band_widths))
         ]
         can_clamp = band_sel & (m_rows >= bbw_of) & (n == c)
-        # fold > 1 keeps starts 16*fold-aligned: floor-align the clamp
-        # bound (clamping lower only spills more edges — spill mode is a
-        # fold prerequisite, and in_win_e is computed after the clamp)
         clamp_bound = (m_rows - bbw_of) // al * al
         start = np.where(can_clamp, np.minimum(start, clamp_bound), start)
 
@@ -1416,8 +1359,6 @@ def build_plan(
             spill_mask_e = np.zeros(len(column_index), dtype=bool)
 
         sw_pos = np.full(num_sw, -1, dtype=np.int64)
-        ring_impl = (config.band_impl == "ring" and config.impl == "pallas"
-                     and fold == 1 and not any(caps_s))
         for s, bbw in enumerate(band_widths):
             sws = np.where(band_sel & (bucket_sw == s))[0].astype(np.int64)
             # zero-capacity when empty (impls skip the kernel launch);
@@ -1427,32 +1368,10 @@ def build_plan(
             sb = max(len(sws), caps_s[s])
             starts_arr = np.zeros(sb, dtype=np.int32)
             edges = np.zeros((0, 3), dtype=np.int32)
-            ring_sched = None
             if len(sws):
-                if ring_impl:
-                    # fetch-once X ring (kernels/ring_band.py): grid in
-                    # ascending-start order so tile demand is monotone;
-                    # A blocks / sw_ids / edges follow via sw_pos
-                    sws = sws[np.argsort(start[sws], kind="stable")]
                 sw_pos[sws] = np.arange(len(sws))
                 starts_arr[: len(sws)] = start[sws].astype(np.int32)
                 xp_rows = max(xp_rows, int((start[sws] + bbw).max()))
-                if ring_impl:
-                    from hcspmm_tpu.kernels.ring_band import (
-                        build_ring_schedule, pack_ring_schedule)
-
-                    _o, pos, ft, fs, fv, fl = build_ring_schedule(
-                        starts_arr[: len(sws)], int(bbw))
-                    assert (_o == np.arange(len(sws))).all()
-                    # flat packed table: 2-D scalar-prefetch operands are
-                    # lane-padded to 128 words in smem (1 MB) and overflow
-                    # it beyond ~500 supers
-                    ring_sched = dict(pos=pos,
-                                      sched=pack_ring_schedule(ft, fs,
-                                                               fv, fl))
-                    # fetches cover whole 128-row tiles
-                    xp_rows = max(xp_rows, -(-int(
-                        (start[sws] + bbw).max()) // 128) * 128)
                 # compact A: (super pos, local row, band-local col) per edge
                 sel_e = (band_sel[sw_of_edge]
                          & (bucket_sw[sw_of_edge] == s) & in_win_e)
@@ -1467,7 +1386,6 @@ def build_plan(
             band_starts.append(starts_arr)
             band_edges.append(edges)
             band_sw_ids.append(sws)
-            band_ring_scheds.append(ring_sched)
         # supers in no bucket (partial cover): the padded SpMM zeroes
         # their blocks (their edges are in the spill population)
         band_missing = np.where(~band_sel)[0].astype(np.int32)
@@ -1503,19 +1421,6 @@ def build_plan(
                 spill_edge_col=_pad_to(sp_cols_e, ep_cap, c),
                 spill_edge_seg=_pad_to(sp_seg, ep_cap, rp_cap),
             )
-            if (config.spill_impl == "colstream" and spill_nnz
-                    and config.impl == "pallas" and n == c and fold == 1
-                    and not (caps.num_spill_rows or caps.num_spill_edges)):
-                # column-streamed gather layout (kernels/colstream.py):
-                # square unfolded pallas plans; shard-uniform (caps) plans
-                # keep 'take' (chunk counts are not shard-uniform)
-                from hcspmm_tpu.kernels.colstream import build_colstream
-
-                cs_t, cs_c, cs_r = build_colstream(sp_cols_e, sp_rows_e)
-                spill_fields.update(cs_tile=cs_t, cs_cols=cs_c,
-                                    cs_rows=cs_r)
-                # X must cover whole 128-row tiles up to the last column
-                xp_rows = max(xp_rows, -(-c // 128) * 128)
             # dstream pays ~2x64 KB of destination-block R/W per touched
             # 128-row tile; with few edges per touched tile the take
             # path's per-edge cost is cheaper (measured: DD's 1865
@@ -1998,9 +1903,7 @@ def build_plan(
         band_edges=band_edges,
         band_sw_ids=band_sw_ids,
         band_missing_sw=band_missing,
-        band_ring=band_ring_scheds,
         band_full_cover=band_full_cover if band_widths else False,
-        band_fold=fold,
         tband=tband,
         tband_pack=int(getattr(config, "tband_pack", 1)) if tband else 1,
         band_num_sw=num_sw if band_widths else 0,
@@ -2028,14 +1931,6 @@ def build_plan(
         dense_gather_rows=dense_gather_rows,
         unique_gather_rows=unique_gather_rows,
     )
-    if fold > 1 and not (plan.band_full_cover and plan.band_padded_ok):
-        # the folded SpMM computes ONLY band blocks (+ spill) in the
-        # closed folded layout; a plan that routes supers to the gather
-        # populations or whose starts escape [0, M) cannot run folded
-        raise ValueError(
-            "band_fold > 1 needs a full-coverage padded-clamped band "
-            "plan (square graph; band_mode='always' guarantees it under "
-            "band_spill='auto')")
     return plan
 
 

@@ -210,7 +210,7 @@ _BAND_LOOKAHEAD = int(__import__("os").environ.get(
 
 
 def _band_body_deep(starts_ref, a_hbm, x_hbm, aband, band, asems, xsems,
-                    *, bb, precision, fold=1):
+                    *, bb, precision):
     """Shared deep-pipelined band step.  Prefetches A block j and X band
     j (``xp[starts[j] : starts[j]+bb]``) ``L-1`` steps ahead over ``L``
     slots, then returns ``A_i @ band_i`` (fp32).
@@ -221,17 +221,10 @@ def _band_body_deep(starts_ref, a_hbm, x_hbm, aband, band, asems, xsems,
     the slot being overwritten was last read at step i-1, which has
     already completed.
 
-    ``fold`` > 1 = the narrow-dim FOLDED layout (VERDICT r1 #2): X holds
-    ``fold`` consecutive original rows per VMEM row, dsub = d/fold lanes
-    each (xf[j, k*dsub+f] = x[fold*j+k, f]), so narrow features (dim <=
-    32/64) stop paying the 128-lane floor — X and output traffic shrink
-    ``fold``x while the A stream is unchanged.  The A block stays in its
-    NATURAL [bh, W] layout: because xf's (j, k) index flattens row-major
-    to the original column c = fold*j + k, the unfold xf -> [W, dsub] is
-    a pure reshape, the body is ONE dot [bh, W] @ [W, dsub], and the
-    output fold [bh, dsub] -> [bh/fold, d] is again a pure reshape — no
-    lane-sliced stripe arithmetic, no A-side relayout.  ``bb`` is the
-    FOLDED band row count (W/fold); ``starts_ref`` is in folded units."""
+    (Round-5 prune: the band_fold narrow-dim folded variant of this body
+    was deleted — its dots filled 32/128 MXU output lanes and measured
+    1.7x slower at dim 32; the transposed band kernels/tband.py is the
+    narrow-dim fast path.  Record in docs/ROADMAP.md round 3.)"""
     L = aband.shape[0]
     la = L - 1
     i = pl.program_id(0)
@@ -242,9 +235,8 @@ def _band_body_deep(starts_ref, a_hbm, x_hbm, aband, band, asems, xsems,
                                      asems.at[slot])
 
     def x_dma(j, slot):
-        # plan-side band starts are 16-aligned (16*fold in original
-        # columns when folded); the hint lets Mosaic prove sublane-tile
-        # divisibility of the dynamic HBM slice
+        # plan-side band starts are 16-aligned; the hint lets Mosaic
+        # prove sublane-tile divisibility of the dynamic HBM slice
         start = pl.multiple_of(starts_ref[j], 16)
         return pltpu.make_async_copy(
             x_hbm.at[pl.ds(start, bb), :],
@@ -269,72 +261,33 @@ def _band_body_deep(starts_ref, a_hbm, x_hbm, aband, band, asems, xsems,
 
     a_dma(i, i % L).wait()
     x_dma(i, i % L).wait()
-    if fold == 1:
-        return jnp.dot(
-            aband[i % L].astype(band.dtype),
-            band[i % L],
-            preferred_element_type=jnp.float32,
-            precision=precision,
-        )
-    # Folded branch.  A arrives HOST-PERMUTED (format.plan arrays():
-    # rows fold*j'+ko -> ko*bhf+j', cols fold*j+ki -> ki*Wf+j).  The
-    # natural single-dot formulation needs (Wf,128)->(W,dsub) /
-    # (bh,dsub)->(bhf,128) vector reshapes, which Mosaic rejects
-    # ("unsupported shape cast"); lane-sliced concats are also rejected
-    # ("offset mismatch on non-concat dimension").  The Mosaic-legal
-    # form (validated on v5e) contracts per folded-column slab: fold
-    # dots A[:, ki*Wf:+Wf] @ xf[:, ki*dsub:+dsub] accumulated in fp32 —
-    # the relayout of the sliced operands is handled inside the dots.
-    # Returns acc [bh, dsub] in ko-major row order; callers store it
-    # with _fold_store (per-ko lane-sliced stores).
-    af = aband[i % L].astype(band.dtype)            # [bh, W] permuted
-    d = band.shape[-1]
-    dsub = d // fold
-    xf = band[i % L]                                # [Wf, d] folded
-    acc = jnp.zeros((af.shape[0], dsub), jnp.float32)
-    for ki in range(fold):
-        acc += jax.lax.dot(
-            af[:, ki * bb:(ki + 1) * bb],
-            xf[:, ki * dsub:(ki + 1) * dsub],
-            preferred_element_type=jnp.float32,
-            precision=precision,
-        )
-    return acc
+    return jnp.dot(
+        aband[i % L].astype(band.dtype),
+        band[i % L],
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
 
 
-def _fold_store(out_view, acc, fold):
-    """Store the folded body's [bh, dsub] ko-major accumulator into a
-    [bh/fold, d] output view: out[j', ko*dsub+f] = acc[ko*bhf+j', f]."""
-    bhf = acc.shape[0] // fold
-    dsub = acc.shape[1]
-    for ko in range(fold):
-        out_view[:, ko * dsub:(ko + 1) * dsub] = (
-            acc[ko * bhf:(ko + 1) * bhf, :].astype(out_view.dtype))
-
-
-def _band_scratch(a, xp, d, fold=1):
+def _band_scratch(a, xp, d):
     L = _BAND_LOOKAHEAD
     _, bh, bb = a.shape
     return [
         pltpu.VMEM((L, bh, bb), a.dtype),
-        pltpu.VMEM((L, bb // fold, d), xp.dtype),
+        pltpu.VMEM((L, bb, d), xp.dtype),
         pltpu.SemaphoreType.DMA((L,)),
         pltpu.SemaphoreType.DMA((L,)),
     ]
 
 
 def _band_kernel(starts_ref, a_hbm, x_hbm, out_ref, aband, band,
-                 asems, xsems, *, bb, precision, fold=1):
-    acc = _band_body_deep(starts_ref, a_hbm, x_hbm, aband, band,
-                          asems, xsems, bb=bb, precision=precision,
-                          fold=fold)
-    if fold == 1:
-        out_ref[0] = acc
-    else:
-        _fold_store(out_ref.at[0], acc, fold)
+                 asems, xsems, *, bb, precision):
+    out_ref[0] = _band_body_deep(starts_ref, a_hbm, x_hbm, aband, band,
+                                 asems, xsems, bb=bb,
+                                 precision=precision)
 
 
-def band_bucket_spmm(starts, a, xp, fold=1):
+def band_bucket_spmm(starts, a, xp):
     """``out[s] = a[s] @ xp[starts[s] : starts[s]+Bb]`` for one band-width
     bucket: ONE contiguous deep-pipelined DMA per superwindow instead of
     per-row gathers — the explicit-VMEM analog of the reference GPU's L2
@@ -342,11 +295,6 @@ def band_bucket_spmm(starts, a, xp, fold=1):
 
     starts: int32 [Sb] sublane-aligned; a: int8 [Sb, bh, Bb]; xp: [>=max
     start+Bb, D].  Returns fp32 [Sb, bh, D].
-
-    ``fold`` > 1: narrow-dim folded layout — xp is the folded
-    [rows/fold, D] array, starts are in folded units, a keeps its
-    natural [Sb, bh, Bb] layout, and the output is folded
-    [Sb, bh/fold, D] (see _band_body_deep).
     """
     sb, bh, bb = a.shape
     _, d = xp.shape
@@ -362,50 +310,36 @@ def band_bucket_spmm(starts, a, xp, fold=1):
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, bh // fold, d), lambda i, s_: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, bh, d), lambda i, s_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=_band_scratch(a, xp, d, fold),
+        scratch_shapes=_band_scratch(a, xp, d),
     )
     return pl.pallas_call(
-        functools.partial(_band_kernel, bb=bb // fold, precision=precision,
-                          fold=fold),
+        functools.partial(_band_kernel, bb=bb, precision=precision),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((sb, bh // fold, d), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((sb, bh, d), jnp.float32),
         interpret=_interpret(),
     )(starts, a, xp)
 
 
-def band_direct_dispatch(arrs, s, xp, num_sw, out_dtype, trash=False,
-                         fold=1):
-    """Direct-write band call for bucket ``s``: the fetch-once X ring
-    kernel when the plan carries a ring schedule (band_impl='ring',
-    kernels/ring_band.py — never built with capacity padding or fold),
-    else the wide deep-pipelined kernel."""
-    if f"band{s}_rpos" in arrs and fold == 1 and not trash:
-        from hcspmm_tpu.kernels.ring_band import band_ring_spmm_direct
-
-        return band_ring_spmm_direct(
-            arrs[f"band{s}_rpos"], arrs[f"band{s}_sw"],
-            arrs[f"band{s}_rsched"],
-            arrs[f"band{s}_a"], xp, num_sw, out_dtype,
-        )
+def band_direct_dispatch(arrs, s, xp, num_sw, out_dtype, trash=False):
+    """Direct-write band call for bucket ``s`` — the wide deep-pipelined
+    kernel.  (Round-5 prune: the 'ring' fetch-once X variant was deleted
+    after measuring 766-776 us vs wide's 510-522 at DD/dim96 — cutting X
+    re-fetch does not move the binding A convert+dot wall; record in
+    docs/ROADMAP.md round 3.)"""
     return band_bucket_spmm_direct(
         arrs[f"band{s}_sw"], arrs[f"band{s}_start"], arrs[f"band{s}_a"],
-        xp, num_sw, out_dtype, trash=trash, fold=fold,
+        xp, num_sw, out_dtype, trash=trash,
     )
 
 
 def _band_kernel_direct(starts_ref, sw_ref, a_hbm, x_hbm, out_ref,
-                        aband, band, asems, xsems, *, bb, precision,
-                        fold=1):
-    acc = _band_body_deep(
+                        aband, band, asems, xsems, *, bb, precision):
+    out_ref[0] = _band_body_deep(
         starts_ref, a_hbm, x_hbm, aband, band, asems, xsems,
-        bb=bb, precision=precision, fold=fold,
-    )
-    if fold == 1:
-        out_ref[0] = acc.astype(out_ref.dtype)
-    else:
-        _fold_store(out_ref.at[0], acc, fold)
+        bb=bb, precision=precision,
+    ).astype(out_ref.dtype)
 
 
 def _band_kernel_grouped(starts_ref, a_ref, x_hbm, out_ref, band, sems, *,
@@ -488,7 +422,7 @@ def band_bucket_spmm_grouped(starts, a, xp, num_sw, out_dtype,
 
 
 def band_bucket_spmm_direct(sw_ids, starts, a, xp, num_sw, out_dtype,
-                            trash=None, fold=1):
+                            trash=None):
     """Direct write: superwindow ``sw_ids[i]``'s output block is written
     by grid step i; blocks not owned by this bucket come out as
     uninitialized garbage the caller must overwrite (single-bucket
@@ -500,10 +434,7 @@ def band_bucket_spmm_direct(sw_ids, starts, a, xp, num_sw, out_dtype,
     partial buckets must pass it explicitly.  The trash block is only
     allocated when needed — the [:num_sw] slice of the padded case costs
     a full-output copy pass, so the unpadded case keeps the exact
-    shape.
-
-    ``fold`` > 1: narrow-dim folded layout (see _band_body_deep): xp and
-    the output blocks are folded ([bh/fold, D] per super)."""
+    shape."""
     sb, bh, bb = a.shape
     if trash is None:
         trash = sb > num_sw
@@ -520,16 +451,16 @@ def band_bucket_spmm_direct(sw_ids, starts, a, xp, num_sw, out_dtype,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, bh // fold, d),
+        out_specs=pl.BlockSpec((1, bh, d),
                                lambda i, s_, w_: (w_[i], 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=_band_scratch(a, xp, d, fold),
+        scratch_shapes=_band_scratch(a, xp, d),
     )
     out = pl.pallas_call(
-        functools.partial(_band_kernel_direct, bb=bb // fold,
-                          precision=precision, fold=fold),
+        functools.partial(_band_kernel_direct, bb=bb,
+                          precision=precision),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((num_sw + int(trash), bh // fold, d),
+        out_shape=jax.ShapeDtypeStruct((num_sw + int(trash), bh, d),
                                        out_dtype),
         interpret=_interpret(),
     )(starts, sw_ids, a, xp)
@@ -675,16 +606,7 @@ def band_tiled_spmm(arrs, xp, plan, out_dtype):
 
 def band_fused_dispatch(arrs, s, xp, wp, num_sw, out_dtype):
     """Fused direct-write band call for bucket ``s`` (full-cover single
-    bucket, no capacity padding): ring twin when the plan carries a ring
-    schedule, else the wide fused kernel."""
-    if f"band{s}_rpos" in arrs:
-        from hcspmm_tpu.kernels.ring_band import band_ring_fused_direct
-
-        return band_ring_fused_direct(
-            arrs[f"band{s}_rpos"], arrs[f"band{s}_sw"],
-            arrs[f"band{s}_rsched"],
-            arrs[f"band{s}_a"], xp, wp, num_sw, out_dtype,
-        )
+    bucket, no capacity padding) — the wide fused kernel."""
     return band_fused_spmm_direct(
         arrs[f"band{s}_sw"], arrs[f"band{s}_start"], arrs[f"band{s}_a"],
         xp, wp, num_sw, out_dtype,
@@ -758,13 +680,10 @@ def spmm_fused_pallas(arrs, x, w, plan, compute_dtype):
     unfused ops instead)."""
     n, d = x.shape
     if (not plan.band_full_cover or getattr(plan, "tiled", False)
-            or getattr(plan, "band_fold", 1) > 1
             or getattr(plan, "tband", False)):
         # tiled plans compose (tiled aggregate + XLA matmul under one
-        # jit); the wide fused kernel needs the band*_a arrays; folded
-        # plans compose through the folded SpMM (weights need the
-        # block-diagonal lane form — ops layer owns that); tband plans
-        # fuse only in the transposed padded layout (ops layer routes)
+        # jit); the wide fused kernel needs the band*_a arrays; tband
+        # plans fuse only in the transposed padded layout (ops routes)
         return None
     num_sw = max(getattr(plan, 'band_num_sw', 0),
                  _cdiv(n, plan.band_h))
@@ -829,10 +748,10 @@ def apply_spill(out, arrs, xsrc, plan):
     assembled output.  Row padding is INT32_MAX, always out of bounds, so
     ``mode='drop'`` discards it.
 
-    With ``config.spill_impl='colstream'`` plans the gather runs as the
-    column-streamed MXU kernel (kernels/colstream.py) whenever the source
-    is lane-complete (128-multiple width — the padded-layout call sites);
-    other call sites slice to the model dim first and keep the take path."""
+    (Round-5 prune: the 'colstream' column-streamed gather variant was
+    deleted — round-2 hardware showed the merge, not the gather, was the
+    spill wall and every colstream config measured slower than take;
+    record in docs/ROADMAP.md round 2.)"""
     if not _has_spill(arrs, plan):
         return out
     if ("ds_blk" in arrs and out.shape[0] == getattr(plan, "ds_rows", -1)
@@ -842,64 +761,8 @@ def apply_spill(out, arrs, xsrc, plan):
         from hcspmm_tpu.kernels.dstream import dstream_spill
 
         return dstream_spill(arrs, xsrc, out, plan)
-    if "cs_tile" in arrs and xsrc.shape[1] % 128 == 0:
-        from hcspmm_tpu.kernels.colstream import colstream_spill
-
-        return colstream_spill(arrs["cs_tile"], arrs["cs_cols"],
-                               arrs["cs_rows"], xsrc, out)
     seg = _spill_seg(arrs, xsrc, plan)
     return out.at[arrs["spill_rows"]].add(seg.astype(out.dtype), mode="drop")
-
-
-def fold_rows(xp, fold: int):
-    """[M, dsub] -> folded [M/fold, dsub*fold]: ``fold`` consecutive rows
-    share one VMEM row (xf[j, k*dsub+f] = xp[fold*j+k, f]).  A pure
-    reshape — rows fold into lanes contiguously."""
-    m, dsub = xp.shape
-    return xp.reshape(m // fold, dsub * fold)
-
-
-def unfold_rows(xf, fold: int):
-    """Inverse of fold_rows: [M/fold, d] -> [M, d/fold]."""
-    mf, d = xf.shape
-    return xf.reshape(mf * fold, d // fold)
-
-
-def _spmm_pallas_padded_folded(arrs, xf, plan, compute_dtype):
-    """Folded narrow-dim twin of spmm_pallas_padded: xf [M/fold, 128] ->
-    [M/fold, 128] (closed).  Band starts arrive in original columns
-    (16*fold-aligned by plan build) and are divided here; the A blocks
-    are the same natural [Sb, bh, Bb] arrays the unfolded path uses."""
-    fold = plan.band_fold
-    xf = xf.astype(compute_dtype)
-    num_sw = plan.padded_rows // plan.band_h
-    nonempty = [i for i in range(len(plan.band_widths))
-                if arrs[f"band{i}_start"].shape[0] > 0]
-    s_main = max(nonempty, key=lambda i: len(plan.band_sw_ids[i]))
-    buf = band_bucket_spmm_direct(
-        arrs[f"band{s_main}_sw"], arrs[f"band{s_main}_start"] // fold,
-        arrs[f"band{s_main}_a"], xf, num_sw, xf.dtype,
-        trash=(arrs[f"band{s_main}_start"].shape[0]
-               > len(plan.band_sw_ids[s_main])),
-        fold=fold,
-    )
-    for i in nonempty:
-        if i == s_main:
-            continue
-        part = band_bucket_spmm(
-            arrs[f"band{i}_start"] // fold, arrs[f"band{i}_a"], xf,
-            fold=fold,
-        ).astype(xf.dtype)
-        buf = buf.at[arrs[f"band{i}_sw"]].set(part, mode="drop")
-    out = buf.reshape(plan.padded_rows // fold, xf.shape[1])
-    if _has_spill(arrs, plan):
-        # spill rows index the UNFOLDED row space: unfold, add, refold
-        # (one relayout pass each way, only paid when spill is nonempty)
-        out_u = unfold_rows(out, fold)
-        x_u = unfold_rows(xf, fold)
-        out_u = apply_spill(out_u, arrs, x_u, plan)
-        out = fold_rows(out_u.astype(xf.dtype), fold)
-    return out
 
 
 def spmm_padded_supported(plan) -> bool:
@@ -925,9 +788,7 @@ def spmm_padded_supported(plan) -> bool:
     # partial cover: starts must still be clamped into [0, M) and every
     # non-band edge must be additive (spill) — no row-merge populations
     if not (plan.band_widths and plan.num_cols == plan.num_nodes
-            and plan.dense_nnz == 0 and plan.sparse_nnz == 0
-            and (getattr(plan, "band_fold", 1) == 1
-                 or getattr(plan, "tband", False))):
+            and plan.dense_nnz == 0 and plan.sparse_nnz == 0):
         return False
     m = plan.padded_rows
     for s, bbw in enumerate(plan.band_widths):
@@ -954,8 +815,6 @@ def spmm_pallas_padded(arrs, xp, plan, compute_dtype):
         from hcspmm_tpu.kernels.tband import spmm_tband_padded
 
         return spmm_tband_padded(arrs, xp, plan, compute_dtype)
-    if getattr(plan, "band_fold", 1) > 1:
-        return _spmm_pallas_padded_folded(arrs, xp, plan, compute_dtype)
     xp = xp.astype(compute_dtype)
     m, dp = xp.shape
     if getattr(plan, "tiled", False):
@@ -1012,7 +871,6 @@ def spmm_fused_pallas_padded(arrs, xp, wp, plan):
     full-coverage wide plans only; returns None otherwise (callers
     compose with the padded SpMM)."""
     if (getattr(plan, "tiled", False) or not plan.band_padded_ok
-            or getattr(plan, "band_fold", 1) > 1
             or getattr(plan, "tband", False)):
         return None
     num_sw = plan.padded_rows // plan.band_h
@@ -1045,19 +903,6 @@ def spmm_pallas(arrs, x, plan, compute_dtype):
         from hcspmm_tpu.kernels.tband import spmm_tband
 
         return spmm_tband(arrs, x, plan, compute_dtype)
-    fold = getattr(plan, "band_fold", 1)
-    if fold > 1:
-        # folded plans run the folded padded core with one-time glue
-        # (padded callers skip this): pad to [M, dsub], fold, unfold
-        dsub = 128 // fold
-        if d > dsub:
-            raise ValueError(
-                f"band_fold={fold} supports dim <= {dsub}, got {d}")
-        m = plan.padded_rows
-        xp = jnp.pad(x.astype(compute_dtype), ((0, m - n), (0, dsub - d)))
-        out = _spmm_pallas_padded_folded(
-            arrs, fold_rows(xp, fold), plan, compute_dtype)
-        return unfold_rows(out, fold)[:n, :d].astype(x.dtype)
     if getattr(plan, "tiled", False):
         # tiled plans carry only tp_* arrays; run the padded core with
         # one-time glue (padded callers skip this entirely)

@@ -245,8 +245,6 @@ def make_spmm_padded(
     pb = plan if plan_bwd is None else plan_bwd
     if not (spmm_padded_supported(plan) and spmm_padded_supported(pb)
             and pb.padded_rows == plan.padded_rows
-            and getattr(pb, "band_fold", 1)
-            == getattr(plan, "band_fold", 1)
             and getattr(pb, "tband", False)
             == getattr(plan, "tband", False)):
         return None
@@ -276,36 +274,6 @@ def _pad_w_lane(w, dpin, cd):
     dpo = -(-w.shape[1] // 128) * 128
     return jnp.pad(w.astype(cd),
                    ((0, dpin - w.shape[0]), (0, dpo - w.shape[1])))
-
-
-def _pad_w_fold(w, fold, cd):
-    """Weight for the FOLDED activation layout: ``fold`` copies of ``w``
-    (each zero-padded to [dsub, dsub], dsub = 128/fold) on the diagonal
-    of a [128, 128] tile — lane group k of a folded activation row (=
-    original row fold*j + k) sees its own copy, so ``xf @ wf`` is the
-    folded form of ``x @ w``."""
-    dsub = 128 // fold
-    if w.shape[0] > dsub or w.shape[1] > dsub:
-        raise ValueError(
-            f"band_fold={fold} supports layer dims <= {dsub}, got "
-            f"{w.shape[0]}x{w.shape[1]}")
-    wp = jnp.pad(w.astype(cd), ((0, dsub - w.shape[0]),
-                                (0, dsub - w.shape[1])))
-    return jnp.kron(jnp.eye(fold, dtype=cd), wp)
-
-
-def _fold_dw(m128, w_shape, fold, dtype):
-    """Extract dW from the folded-layout weight-gradient tile: the true
-    gradient is the sum of the ``fold`` diagonal [dsub, dsub] blocks of
-    ``xf^T @ adz_f`` (off-diagonal blocks pair different original rows
-    and are discarded)."""
-    dsub = 128 // fold
-    din, dout = w_shape
-    acc = None
-    for k in range(fold):
-        blk = m128[k * dsub:k * dsub + din, k * dsub:k * dsub + dout]
-        acc = blk if acc is None else acc + blk
-    return acc.astype(dtype)
 
 
 def _make_fused_ops_tband(plan, pb, cd):
@@ -408,27 +376,17 @@ def make_fused_ops_padded(
     pb = plan if plan_bwd is None else plan_bwd
     if not (spmm_padded_supported(plan) and spmm_padded_supported(pb)
             and pb.padded_rows == plan.padded_rows
-            and getattr(pb, "band_fold", 1)
-            == getattr(plan, "band_fold", 1)
             and getattr(pb, "tband", False)
             == getattr(plan, "tband", False)):
         return None
     cd = _dtype(compute_dtype)
     if getattr(plan, "tband", False):
         return _make_fused_ops_tband(plan, pb, cd)
-    fold = getattr(plan, "band_fold", 1)
 
     def _pw(w, dpin, cd_):
-        # folded layouts need the block-diagonal weight form (lane group
-        # k = its own original row); unfolded just lane-pads
-        if fold > 1:
-            return _pad_w_fold(w, fold, cd_)
         return _pad_w_lane(w, dpin, cd_)
 
     def _dw_of(m, w):
-        # weight grad from the padded/folded gradient tile
-        if fold > 1:
-            return _fold_dw(m, w.shape, fold, w.dtype)
         return m[: w.shape[0], : w.shape[1]].astype(w.dtype)
 
     def fused(p, arrs, xp, wp):
@@ -737,15 +695,9 @@ class HybridSpMM:
 
     def pad_input(self, x: jnp.ndarray) -> jnp.ndarray:
         """[N, D] -> padded [M, dp] in compute dtype (one-time cost; the
-        layout then stays closed across ``apply_padded`` chains/layers).
-
-        Folded plans (``config.band_fold`` > 1) return the FOLDED layout
-        [M/fold, 128] instead: ``fold`` consecutive rows share one
-        128-lane row (dsub = 128/fold lanes each) so narrow feature dims
-        stop paying the 128-lane floor."""
+        layout then stays closed across ``apply_padded`` chains/layers)."""
         n, d = x.shape
         m = self.plan.padded_rows
-        fold = getattr(self.plan, "band_fold", 1)
         xp = x.astype(_dtype(self.config.compute_dtype))
         if getattr(self.plan, "tband", False):
             # transposed padded layout [dt, M] (kernels/tband.py)
@@ -754,59 +706,38 @@ class HybridSpMM:
             dt = sublane_pad(d)
             xt = jnp.zeros((dt, m), xp.dtype)
             return xt.at[:d, :n].set(xp.T)
-        if fold > 1:
-            dsub = 128 // fold
-            if d > dsub:
-                raise ValueError(
-                    f"band_fold={fold} supports dim <= {dsub}, got {d}")
-            xp = jnp.pad(xp, ((0, m - n), (0, dsub - d)))
-            return xp.reshape(m // fold, 128)
         dp = -(-d // 128) * 128
         return jnp.pad(xp, ((0, m - n), (0, dp - d)))
 
     def unpad_output(self, xp: jnp.ndarray, d: Optional[int] = None,
                      dtype=None) -> jnp.ndarray:
-        """Padded [M, dp] (folded [M/fold, 128], or transposed [dt, M])
-        -> [N, d]."""
+        """Padded [M, dp] (or transposed [dt, M]) -> [N, d]."""
         n = self.plan.num_nodes
         if getattr(self.plan, "tband", False):
             out = (xp[:, :n] if d is None else xp[:d, :n]).T
             return out if dtype is None else out.astype(dtype)
-        fold = getattr(self.plan, "band_fold", 1)
-        if fold > 1:
-            mf, dpf = xp.shape
-            xp = xp.reshape(mf * fold, dpf // fold)
         out = xp[:n] if d is None else xp[:n, :d]
         return out if dtype is None else out.astype(dtype)
 
     def _inv_lanes(self, inv, xp, fill=1.0):
         """Per-original-row scale vector broadcast into the padded (or
-        folded / transposed) activation layout; padded rows get ``fill``."""
+        transposed) activation layout; padded rows get ``fill``."""
         if getattr(self.plan, "tband", False):
             invp = jnp.pad(inv, (0, xp.shape[1] - inv.shape[0]),
                            constant_values=fill)
             return invp[None, :]
-        fold = getattr(self.plan, "band_fold", 1)
-        rows = xp.shape[0] * fold
-        invp = jnp.pad(inv, (0, rows - inv.shape[0]), constant_values=fill)
-        if fold == 1:
-            return invp[:, None]
-        dsub = xp.shape[1] // fold
-        return jnp.broadcast_to(
-            invp.reshape(xp.shape[0], fold, 1),
-            (xp.shape[0], fold, dsub),
-        ).reshape(xp.shape)
+        invp = jnp.pad(inv, (0, xp.shape[0] - inv.shape[0]),
+                       constant_values=fill)
+        return invp[:, None]
 
     def pad_weight(self, w, xp):
-        """Weight in the padded (lane-padded) or folded (block-diagonal)
-        form matching ``xp``'s layout (models.layers.SAGEConv and the
-        unfused layer paths use this).  tband layouts have no
-        right-multiply form — use ``dense_padded`` instead."""
+        """Weight in the lane-padded form matching ``xp``'s layout
+        (models.layers.SAGEConv and the unfused layer paths use this).
+        tband layouts have no right-multiply form — use ``dense_padded``
+        instead."""
         if getattr(self.plan, "tband", False):
             raise ValueError("tband layout: use dense_padded(xp, w), the "
                              "update is W^T @ X^T")
-        if getattr(self.plan, "band_fold", 1) > 1:
-            return _pad_w_fold(w, self.plan.band_fold, xp.dtype)
         return _pad_w_lane(w, xp.shape[1], xp.dtype)
 
     def dense_padded(self, xp, w):

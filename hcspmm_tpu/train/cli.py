@@ -50,17 +50,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "dim<=64 fast path (kernels/tband.py, the "
                         "reference _hybrid_32/64 analog) when every model "
                         "dim fits, else 'wide'")
-    p.add_argument("--band-fold", type=int, default=1, choices=[1, 2, 4],
-                   help="narrow-dim folded activation layout: pack this "
-                        "many rows per 128-lane VMEM row (all layer dims "
-                        "must be <= 128/fold; requires --impl pallas)")
     p.add_argument("--compute-dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])
     p.add_argument("--spill-impl", type=str, default="dstream",
-                   choices=["take", "colstream", "dstream"],
-                   help="spill formulation: XLA take+segsum+scatter, the "
-                        "column-streamed MXU gather (kernels/colstream.py), "
-                        "or take + dst-streamed Pallas merge "
+                   choices=["take", "dstream"],
+                   help="spill formulation: XLA take+segsum+scatter, or "
+                        "take + dst-streamed Pallas merge "
                         "(kernels/dstream.py, default; pallas only)")
     p.add_argument("--bucket-widths", type=str, default="32,64,96,128,192,256",
                    help="comma-separated dense window width buckets")
@@ -137,7 +132,6 @@ def main(argv=None) -> int:
     logger = stdout_logger(dataset=args.dataset, model=args.model)
 
     ds = load_dataset(args)
-    fold = getattr(args, "band_fold", 1)
     band_impl = getattr(args, "band_impl", "auto")
     if band_impl == "auto":
         # transposed band when every dim the model touches fits the
@@ -146,7 +140,7 @@ def main(argv=None) -> int:
         # dominate the epoch)
         dims = [ds.num_features or args.dim, args.hidden, args.classes]
         band_impl = ("tband"
-                     if args.impl == "pallas" and fold == 1
+                     if args.impl == "pallas"
                      and max(args.hidden, args.classes) <= 64
                      and min(dims) > 0 else "wide")
     cfg = PlanConfig(
@@ -154,11 +148,8 @@ def main(argv=None) -> int:
         loi_mode=getattr(args, "loi_mode"),
         compute_dtype=getattr(args, "compute_dtype"),
         impl=args.impl,
-        band_fold=fold,
         band_impl=band_impl if args.impl == "pallas" else "wide",
         spill_impl=getattr(args, "spill_impl", "dstream"),
-        # folded plans need full band coverage (format.plan validation)
-        **({"band_mode": "always"} if fold > 1 else {}),
     )
 
     start = time.perf_counter()

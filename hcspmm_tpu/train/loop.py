@@ -84,7 +84,7 @@ def make_train_step(
             return self(x)  # sum fallback for degree-less operators
 
         def pad_weight(self, wm, x):
-            # layout-owning weight padding (folded plans need the
+            # layout-owning weight padding (the
             # block-diagonal form); layers consult this when padded
             pw = getattr(spmm, "pad_weight", None)
             if pw is not None:
@@ -108,8 +108,7 @@ def make_train_step(
         return _Bound(arrs)
 
     if padded and hasattr(spmm, "unpad_output"):
-        # the operator owns the layout (plain padded slices; folded
-        # layouts unfold first)
+        # the operator owns the layout (plain padded slices)
         def out_slice(h):
             return spmm.unpad_output(h, net.num_classes)
     elif padded:
@@ -136,8 +135,7 @@ def make_train_step(
                 if x.shape[1] != spmm.plan.padded_rows:
                     x = spmm.pad_input(x)
             else:
-                fold = getattr(spmm.plan, "band_fold", 1)
-                if x.shape[0] != spmm.plan.padded_rows // fold:
+                if x.shape[0] != spmm.plan.padded_rows:
                     x = spmm.pad_input(x)  # raw [N, d] (train() pre-pads)
         return _step(params, opt_state, arrays, x, y, rng)
 

@@ -224,8 +224,6 @@ def test_tband_rejects_bad_configs():
     with pytest.raises(ValueError):
         HybridSpMM(rp, ci, nn, _cfg(impl="xla"))
     with pytest.raises(ValueError):
-        HybridSpMM(rp, ci, nn, _cfg(band_fold=2))
-    with pytest.raises(ValueError):
         HybridSpMM(rp, ci, nn, _cfg(band_h=96))
     with pytest.raises(ValueError):
         HybridSpMM(rp, ci, nn, _cfg(tband_pack=3))
