@@ -862,7 +862,12 @@ def build_plan(
         slots_sw = np.add.reduceat(
             np.concatenate([slot, [0]]), sw_row0
         ) * (sw_row1 > sw_row0)
-        dnom = 128.0
+        # X-stream lane count for the band cost model: the transposed
+        # band streams X^T slabs of dt (~32) sublanes, not the padded
+        # 128-lane rows — pricing tband's X at 128 lanes overpriced wide
+        # candidates 4x and kept TT/GH at W=1024 while the (round-5,
+        # much cheaper) spill path no longer justified narrow windows
+        dnom = 32.0 if tband else 128.0
         xbytes = 2.0 if config.compute_dtype == "bfloat16" else 4.0
         # per-gathered-row cost: row bytes over the measured random-gather
         # bandwidth (XLA take path).  The old fixed 7 ns default made a
@@ -871,6 +876,12 @@ def build_plan(
         # streamed GBs of A for nothing (round-2 fix).
         if config.gather_ns_per_row is not None:
             g_ns = config.gather_ns_per_row * 1e-9
+        elif tband:
+            # measured round-5 effective marginal spill cost on the lane
+            # chain (segmented gather 2.2-4 + cache warming amortized +
+            # merge slot ~0.7 + chunk share ~1): TT 11.2 / GH 10.7 /
+            # RD 12.2 / AZ 4.3 ns per edge AVERAGE, marginal ~7
+            g_ns = 7e-9
         else:
             g_ns = dnom * xbytes / (config.take_gbps * 1e9)
         sparse_cost = slots_sw * g_ns
