@@ -1748,6 +1748,23 @@ def build_plan(
             & (wa.unique_counts <= kmax)
             & ~band_window_mask
         )
+        # single-path collapse (round 5, VERDICT r4 #9): a minority path
+        # carrying a sliver of the nnz still pays its kernel family's
+        # fixed dispatch/VMEM costs — measured end-to-end, routing DD's
+        # calibrated ~2% sparse remainder dense beat the mixture by 2.7%
+        # (artifacts/loi_calibration_r4.log).  When the calibrated
+        # selector leaves a path under 3% of routable nnz, reroute it
+        # (capacity caps still force the sparse path for over-wide
+        # windows).
+        if config.loi_mode == "calibrated":
+            routable = (wa.edge_counts > 0) & ~band_window_mask
+            e_d = int(wa.edge_counts[dense_mask_w].sum())
+            e_r = int(wa.edge_counts[routable].sum())
+            fits = routable & (wa.unique_counts <= kmax)
+            if e_r and e_d < 0.03 * e_r:
+                dense_mask_w &= False          # all-sparse cheaper
+            elif e_r and (e_r - e_d) < 0.03 * e_r:
+                dense_mask_w = fits            # all-dense (capacity-capped)
     sparse_mask_w = ~dense_mask_w & (wa.edge_counts > 0) & ~band_window_mask
     if spill_mode:
         # spill-mode routing is total: banded supers' out-of-window edges

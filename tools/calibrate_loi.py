@@ -184,11 +184,31 @@ def calibrate_mixed(args) -> int:
         except Exception as exc:  # noqa: BLE001 - report, keep going
             print(f"# mixed end-to-end {nm}: FAILED {exc!r}",
                   file=sys.stderr, flush=True)
+    # ---- single-path collapse (VERDICT r4 #9) ----
+    # The per-bin fit cannot see cross-path contention (two live kernel
+    # families share dispatch/cache); when the measured END-TO-END
+    # mixture loses to a constant path on its own calibration graph, the
+    # calibration emits that constant path as the selector (an extreme
+    # bias routes every window one way; max_cols still caps capacity).
+    # By construction `calibrated <= min(all_dense, all_sparse)` then
+    # holds on the calibration graph.
+    from hcspmm_tpu.config import LOICoefficients
+
     if ("calibrated" in results and len(results) == 3
-            and results["calibrated"]
-            > min(results.values()) * 1.02):
-        print("# WARNING: calibrated mixture slower than best single "
-              "path — contention not captured by per-bin fit")
+            and results["calibrated"] > min(results.values()) * 1.0):
+        best = min(results, key=results.get)
+        if best == "all_dense":
+            co = LOICoefficients(w_cols=0.0, w_density=0.0, bias=-1e9,
+                                 max_cols=co.max_cols)
+            print("# mixture lost to all_dense end-to-end -> selector "
+                  "collapsed to the dense path (bias=-1e9)",
+                  file=sys.stderr, flush=True)
+        elif best == "all_sparse":
+            co = LOICoefficients(w_cols=0.0, w_density=0.0, bias=1e9,
+                                 max_cols=co.max_cols)
+            print("# mixture lost to all_sparse end-to-end -> selector "
+                  "collapsed to the sparse path (bias=+1e9)",
+                  file=sys.stderr, flush=True)
 
     print("# calibrated LOI coefficients (paste into PlanConfig(loi=...)):")
     print(f"LOICoefficients(w_cols={co.w_cols:.6f}, "
