@@ -305,9 +305,18 @@ def _make_fused_ops_tband(plan, pb, cd):
         return m[: w.shape[0], : w.shape[1]].astype(w.dtype)
 
     def fused(p, arrs, xt, wform):
-        res = spmm_tband_fused_padded(arrs, xt, wform, p)
-        if res is not None:
-            return res
+        # Composition is the DEFAULT: the round-5 Table VI analog
+        # (artifacts/fusion_ablation_r5.jsonl) measured the hand-fused
+        # two-output band kernel 65% SLOWER than SpMM + separate dot on
+        # zero-spill plans — the extra output stream breaks the deep DMA
+        # pipeline, while the aggregate's HBM round trip at dt<=64 costs
+        # only ~2*M*dt*2 bytes.  The reference's 30.6% fused-backward win
+        # (report Table VI) came from re-reading CSR on GPU; XLA's own
+        # scheduling already covers that here.
+        if getattr(p, "prefer_fused_kernel", False):
+            res = spmm_tband_fused_padded(arrs, xt, wform, p)
+            if res is not None:
+                return res
         agg = spmm_pallas_padded(arrs, xt, p, cd)
         out = jnp.dot(wform, agg.astype(wform.dtype),
                       preferred_element_type=jnp.float32).astype(xt.dtype)
@@ -390,9 +399,13 @@ def make_fused_ops_padded(
         return m[: w.shape[0], : w.shape[1]].astype(w.dtype)
 
     def fused(p, arrs, xp, wp):
-        res = spmm_fused_pallas_padded(arrs, xp, wp, p)
-        if res is not None:
-            return res
+        # composed by default — see _make_fused_ops_tband.fused (the
+        # wide-layout fused kernel measured 70% slower than composition
+        # at dim 96; artifacts/fusion_ablation_r5.jsonl)
+        if getattr(p, "prefer_fused_kernel", False):
+            res = spmm_fused_pallas_padded(arrs, xp, wp, p)
+            if res is not None:
+                return res
         agg = spmm_pallas_padded(arrs, xp, p, cd)
         out = jnp.dot(agg, wp, preferred_element_type=jnp.float32
                       ).astype(xp.dtype)
@@ -481,10 +494,14 @@ def _build_impls(plan, pb, cd, impl):
 
 
 def _fused_impl(plan, cd, impl, fwd_impl):
-    """((A@X) @ W, A@X) forward: one fused Pallas kernel when the plan
-    allows, else compose (the reference ships these as separate fused
-    kernels, hybrid_all_kernel.cu:1639-2770)."""
-    if impl == "pallas":
+    """((A@X) @ W, A@X) forward: composed by default — the round-5
+    Table VI analog (artifacts/fusion_ablation_r5.jsonl) measured the
+    hand-fused Pallas kernel 65-70% slower than SpMM + separate dot (the
+    second output stream breaks the deep DMA pipeline; XLA already
+    schedules the composition).  ``plan.prefer_fused_kernel`` re-enables
+    the kernel (the reference ships these as separate fused kernels,
+    hybrid_all_kernel.cu:1639-2770)."""
+    if impl == "pallas" and getattr(plan, "prefer_fused_kernel", False):
         from hcspmm_tpu.kernels.block_spmm import spmm_fused_pallas
 
         def run(arrs, x, w):
