@@ -228,6 +228,77 @@ def segmented_gather(t1, ranks, laneg, segs, pieces, bw: int):
     return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
 
 
+def _tbstream_kernel_v2(blk_ref, local_ref, gath_ref, prev_ref, out_ref,
+                        acc_ref, *, span, bw, out_dtype, precision):
+    s = pl.program_id(0)
+    ns = pl.num_programs(0)
+    first = jnp.logical_or(s == 0,
+                           blk_ref[s] != blk_ref[jnp.maximum(s - 1, 0)])
+    last = jnp.logical_or(s == ns - 1,
+                          blk_ref[s] != blk_ref[jnp.minimum(s + 1, ns - 1)])
+
+    @pl.when(first)
+    def _():
+        acc_ref[...] = prev_ref[...].astype(jnp.float32)
+
+    # local ids arrive [1, bw]: a LANE vector (no [bw, 1] sublane-vector
+    # block, whose lane-dim-1 DMA pads to full lane tiles); the one-hot
+    # builds [span, bw] and the merge dot contracts both rhs/lhs dim 1
+    # (rhs-transposed form)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (span, bw), 0)
+    oh = (sub == local_ref[...]).astype(gath_ref.dtype)   # [span, bw]
+    acc_ref[...] += jax.lax.dot_general(
+        gath_ref[...], oh,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+
+    @pl.when(last)
+    def _():
+        out_ref[...] = acc_ref[...].astype(out_dtype)
+
+
+def tbstream_merge_v2(gathered, local_l, blk, buf, *, group: int):
+    """tbstream_merge with LANE-vector local ids: local_l int32 [C, bw]
+    (row c = chunk c's destination lanes, sentinel group*128).  The
+    sublane-vector [C, bw, 1] layout of v1 DMAs a lane-dim-1 block per
+    chunk, which pads to full lane tiles; the [1, bw] lane row is one
+    dense row read.  The one-hot builds [span, bw] and the merge runs as
+    an rhs-transposed dot."""
+    dt, m = buf.shape
+    span = group * 128
+    assert m % span == 0, (m, group)
+    c, bw = local_l.shape
+    assert gathered.shape[1] == c * bw, (gathered.shape, c, bw)
+    precision = (jax.lax.Precision.HIGHEST
+                 if gathered.dtype == jnp.float32
+                 else jax.lax.Precision.DEFAULT)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,                             # blk
+        grid=(c,),
+        in_specs=[
+            pl.BlockSpec((1, bw), lambda i, b_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((dt, bw), lambda i, b_: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((dt, span), lambda i, b_: (0, b_[i]),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((dt, span), lambda i, b_: (0, b_[i]),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((dt, span), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_tbstream_kernel_v2, span=span, bw=bw,
+                          out_dtype=buf.dtype, precision=precision),
+        grid_spec=grid_spec,
+        input_output_aliases={3: 0},
+        out_shape=jax.ShapeDtypeStruct((dt, m), buf.dtype),
+        interpret=_interpret(),
+    )(blk, local_l, gathered, buf)
+
+
 # ---------------------------------------------------------------------------
 # mxgather: compact-table build from the transposed layout
 # ---------------------------------------------------------------------------
