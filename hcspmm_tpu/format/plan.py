@@ -167,8 +167,10 @@ class ExecutionPlan:
     # layout — no full-array relayout passes (the round-3 wrapper's
     # three [M, dt] transposes measured ~2.2 ms extra at YS@1.0,
     # tools/profile_parts.py)
-    ds_tlocal: Optional[np.ndarray] = None  # int32 [C, 128, 1] dst lane
-    #   within the chunk's G*128-lane block (sentinel G*128 drops)
+    ds_tlocal: Optional[np.ndarray] = None  # int32 [ceil(C/8)*8, bw]
+    #   dst lane within the chunk's G*128-lane block (sentinel G*128
+    #   drops); LANE-vector rows — the old [C, bw, 1] sublane layout
+    #   tiled to 128x memory and a padded-tile DMA per merge chunk
     ds_lblk: Optional[np.ndarray] = None    # int32 [C] lane-block per chunk
     ds_lgroup: int = 0                      # lane merge group (own, larger
     #   G than the row layout's: [dt, G*128] blocks are dt/128 the bytes)
@@ -1648,9 +1650,8 @@ def build_plan(
                     lg_g, lg_l, lg_b, lg_grp = _bb(
                         sp_rows_e, sp_cols_e, mp, pad_col=c, group=lg_grp,
                         chunk_edges=lg_bwm * 128)
-                    cl = len(lg_b)
-                    lane_fields["ds_tlocal"] = (
-                        lg_l[:cl].astype(np.int32)[:, :, None])
+                    cl = len(lg_b)  # real chunk count (lg_l is 8-padded)
+                    lane_fields["ds_tlocal"] = lg_l.astype(np.int32)
                     lane_fields["ds_lblk"] = lg_b
                     lane_fields["ds_lgroup"] = lg_grp
                     g_lane = lg_g.astype(np.int64)

@@ -125,15 +125,20 @@ def _tbstream_kernel(blk_ref, local_ref, gath_ref, prev_ref, out_ref,
     def _():
         acc_ref[...] = prev_ref[...].astype(jnp.float32)
 
-    # local ids arrive [1, bw, 1]: a SUBLANE vector, so the one-hot
-    # builds directly in [bw, span] orientation and the merge dot is
-    # the standard A@B form (both fast under Mosaic; the [span, bw]
-    # lane-vector alternative forces a transposed-lhs dot)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (bw, span), 1)
-    oh_t = (lane == local_ref[0]).astype(gath_ref.dtype)  # [bw, span]
+    # local ids arrive as an 8-chunk [8, bw] LANE-vector block; row s%8
+    # is this chunk's, selected by a masked sum (Mosaic rejects dynamic
+    # unaligned sublane loads).  The round-1..4 [C, bw, 1] sublane-
+    # vector layout tiled to T(8,128) with lane dim 1 -> a 128x memory
+    # blow-up (10.9 GB at DP@0.25) and a padded-tile DMA per chunk that
+    # carried most of the measured ~400 ns/chunk fixed cost.
+    rowmask = (jax.lax.broadcasted_iota(jnp.int32, (8, bw), 0) == s % 8)
+    lg = jnp.sum(jnp.where(rowmask, local_ref[...], 0), axis=0,
+                 keepdims=True)                            # [1, bw]
+    sub = jax.lax.broadcasted_iota(jnp.int32, (span, bw), 0)
+    oh = (sub == lg).astype(gath_ref.dtype)                # [span, bw]
     acc_ref[...] += jax.lax.dot_general(
-        gath_ref[...], oh_t,
-        dimension_numbers=(((1,), (0,)), ((), ())),
+        gath_ref[...], oh,
+        dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=precision,
     )
@@ -148,19 +153,21 @@ def tbstream_merge(gathered, local_t, blk, buf, *, group: int):
 
     gathered: [dt, C*bw] — chunk c's ``bw`` edge columns (already
     gathered from the activation/compact table; bw = 128*batch, round-5
-    chunk batching amortizes the ~400 ns grid-step fixed cost);
-    local_t: int32 [C, bw, 1] — each slot's destination lane within its
-    ``group*128``-lane block (sentinel group*128 drops); blk: int32 [C]
+    chunk batching amortizes the per-grid-step fixed cost); local_t:
+    int32 [ceil(C/8)*8, bw] — each slot's destination lane within its
+    ``group*128``-lane block (sentinel group*128 drops; row c = chunk c,
+    8-row sublane padding as build_bstream emits); blk: int32 [C]
     nondecreasing destination block ids; buf: [dt, M].  Lane twin of
     dstream.bstream_merge — same chunking host meta (build_bstream with
     chunk_edges=bw), same revisit-accumulate scratch pattern, one
-    one-hot dot per chunk on the MXU."""
+    one-hot dot per chunk on the MXU (rhs-transposed form; the one-hot
+    builds [span, bw] against the selected lane-vector row)."""
     dt, m = buf.shape
     span = group * 128
     assert m % span == 0, (m, group)
     bw = local_t.shape[1]
     c = gathered.shape[1] // bw
-    assert local_t.shape == (c, bw, 1), (local_t.shape, c, bw)
+    assert local_t.shape == (-(-c // 8) * 8, bw), (local_t.shape, c, bw)
     precision = (jax.lax.Precision.HIGHEST
                  if gathered.dtype == jnp.float32
                  else jax.lax.Precision.DEFAULT)
@@ -168,7 +175,7 @@ def tbstream_merge(gathered, local_t, blk, buf, *, group: int):
         num_scalar_prefetch=1,                             # blk
         grid=(c,),
         in_specs=[
-            pl.BlockSpec((1, bw, 1), lambda i, b_: (i, 0, 0),
+            pl.BlockSpec((8, bw), lambda i, b_: (i // 8, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((dt, bw), lambda i, b_: (0, i),
                          memory_space=pltpu.VMEM),
@@ -226,77 +233,6 @@ def segmented_gather(t1, ranks, laneg, segs, pieces, bw: int):
         sl = laneg[s["chunk_lo"] * bw: s["chunk_hi"] * bw]
         parts.append(jnp.take(seg_tbl, sl, axis=1, mode="clip"))
     return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
-
-
-def _tbstream_kernel_v2(blk_ref, local_ref, gath_ref, prev_ref, out_ref,
-                        acc_ref, *, span, bw, out_dtype, precision):
-    s = pl.program_id(0)
-    ns = pl.num_programs(0)
-    first = jnp.logical_or(s == 0,
-                           blk_ref[s] != blk_ref[jnp.maximum(s - 1, 0)])
-    last = jnp.logical_or(s == ns - 1,
-                          blk_ref[s] != blk_ref[jnp.minimum(s + 1, ns - 1)])
-
-    @pl.when(first)
-    def _():
-        acc_ref[...] = prev_ref[...].astype(jnp.float32)
-
-    # local ids arrive [1, bw]: a LANE vector (no [bw, 1] sublane-vector
-    # block, whose lane-dim-1 DMA pads to full lane tiles); the one-hot
-    # builds [span, bw] and the merge dot contracts both rhs/lhs dim 1
-    # (rhs-transposed form)
-    sub = jax.lax.broadcasted_iota(jnp.int32, (span, bw), 0)
-    oh = (sub == local_ref[...]).astype(gath_ref.dtype)   # [span, bw]
-    acc_ref[...] += jax.lax.dot_general(
-        gath_ref[...], oh,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=precision,
-    )
-
-    @pl.when(last)
-    def _():
-        out_ref[...] = acc_ref[...].astype(out_dtype)
-
-
-def tbstream_merge_v2(gathered, local_l, blk, buf, *, group: int):
-    """tbstream_merge with LANE-vector local ids: local_l int32 [C, bw]
-    (row c = chunk c's destination lanes, sentinel group*128).  The
-    sublane-vector [C, bw, 1] layout of v1 DMAs a lane-dim-1 block per
-    chunk, which pads to full lane tiles; the [1, bw] lane row is one
-    dense row read.  The one-hot builds [span, bw] and the merge runs as
-    an rhs-transposed dot."""
-    dt, m = buf.shape
-    span = group * 128
-    assert m % span == 0, (m, group)
-    c, bw = local_l.shape
-    assert gathered.shape[1] == c * bw, (gathered.shape, c, bw)
-    precision = (jax.lax.Precision.HIGHEST
-                 if gathered.dtype == jnp.float32
-                 else jax.lax.Precision.DEFAULT)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,                             # blk
-        grid=(c,),
-        in_specs=[
-            pl.BlockSpec((1, bw), lambda i, b_: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((dt, bw), lambda i, b_: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((dt, span), lambda i, b_: (0, b_[i]),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((dt, span), lambda i, b_: (0, b_[i]),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((dt, span), jnp.float32)],
-    )
-    return pl.pallas_call(
-        functools.partial(_tbstream_kernel_v2, span=span, bw=bw,
-                          out_dtype=buf.dtype, precision=precision),
-        grid_spec=grid_spec,
-        input_output_aliases={3: 0},
-        out_shape=jax.ShapeDtypeStruct((dt, m), buf.dtype),
-        interpret=_interpret(),
-    )(blk, local_l, gathered, buf)
 
 
 # ---------------------------------------------------------------------------

@@ -68,9 +68,8 @@ def test_tbstream_merge_oracle():
     cols = np.arange(e, dtype=np.int64)  # gather straight from xsrc
     gcols, local, blk, grp = build_bstream(rows, cols, m, pad_col=e,
                                            group=group)
-    c = len(blk)
-    local_t = local[:c].astype(np.int32)[:, :, None]
     # pad slots re-fetch the chunk's first col; sentinel local drops them
+    local_t = local.astype(np.int32)   # [ceil(C/8)*8, bw] lane rows
     gathered = jnp.take(jnp.asarray(xsrc), jnp.asarray(gcols), axis=1,
                         mode="clip")
     buf = rng.randn(dt, m).astype(np.float32)
@@ -98,9 +97,8 @@ def test_tbstream_merge_batched_oracle():
         gcols, local, blk, grp = build_bstream(rows, cols, m, pad_col=e,
                                                group=group,
                                                chunk_edges=bw)
-        c = len(blk)
         assert local.shape[1] == bw
-        local_t = local[:c].astype(np.int32)[:, :, None]
+        local_t = local.astype(np.int32)
         gathered = jnp.take(jnp.asarray(xsrc), jnp.asarray(gcols),
                             axis=1, mode="clip")
         buf = rng.randn(dt, m).astype(np.float32)
@@ -111,37 +109,6 @@ def test_tbstream_merge_batched_oracle():
         for j in range(e):
             want[:, rows[j]] += xsrc[:, j]
         np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
-
-
-def test_tbstream_merge_v2_matches_v1():
-    """Lane-vector local layout + rhs-transposed dot (round-5 merge
-    fixed-cost fix) must reproduce the sublane-vector form exactly."""
-    from hcspmm_tpu.kernels.tspill import tbstream_merge_v2
-    from hcspmm_tpu.kernels.dstream import build_bstream
-
-    rng = np.random.RandomState(7)
-    dt, m, group, bw = 8, 4096, 4, 256
-    e = 1500
-    rows = np.sort(rng.randint(0, m, size=e)).astype(np.int64)
-    cols = np.arange(e, dtype=np.int64)
-    xsrc = rng.randn(dt, e).astype(np.float32)
-    gcols, local, blk, grp = build_bstream(rows, cols, m, pad_col=e,
-                                           group=group, chunk_edges=bw)
-    c = len(blk)
-    gathered = jnp.take(jnp.asarray(xsrc), jnp.asarray(gcols), axis=1,
-                        mode="clip")
-    buf = rng.randn(dt, m).astype(np.float32)
-    o1 = np.asarray(tbstream_merge(
-        gathered, jnp.asarray(local[:c].astype(np.int32)[:, :, None]),
-        jnp.asarray(blk), jnp.asarray(buf), group=grp))
-    o2 = np.asarray(tbstream_merge_v2(
-        gathered, jnp.asarray(local[:c].astype(np.int32)),
-        jnp.asarray(blk), jnp.asarray(buf), group=grp))
-    np.testing.assert_allclose(o2, o1, rtol=1e-6, atol=1e-6)
-    want = buf.copy()
-    for j in range(e):
-        want[:, rows[j]] += xsrc[:, j]
-    np.testing.assert_allclose(o2, want, rtol=2e-5, atol=2e-5)
 
 
 def test_build_mx_chunks_invariants():
