@@ -209,6 +209,15 @@ class PlanConfig:
     # from static T1 pieces of at most this size, and every gather in
     # the chain hits a sub-wall table.  0 disables.
     ts2_table_mb: float = 16.0
+    # Round-5 hub split: when the spill's unique columns far exceed the
+    # gather cache AND the top hub columns cover enough edges, the hot
+    # edges run as their OWN chunk stream gathering from a
+    # cache-resident hub table (built once, stays hot for its whole
+    # pass), and only the cold remainder pays the duplicated
+    # segment-table (T2) warming.  Measured coverage at a 16 MB hub:
+    # GH 68% / RD 53% / TT 42% of spill edges.  0 disables.
+    spill_hub_mb: float = 16.0
+    spill_hub_min_cov: float = 0.40
     # Band-block compute wall: int8->bf16 convert + MXU dot seconds per
     # A ELEMENT (v5e measured: DD's 214M-element band ~450 us compute-
     # bound, docs/ROADMAP.md) — prices wide low-occupancy bands.

@@ -199,6 +199,15 @@ class ExecutionPlan:
     ts2_ranks: Optional[np.ndarray] = None  # int32 [U2] piece-relative
     #   T1 slot of each segment-table column (duplicated across
     #   segments), PIECE-MAJOR order (matches ts2_pieces)
+    # round-5 hub split: the hot (hub-column) spill edges run as their
+    # own chunk stream against a cache-resident hub table; only the
+    # cold remainder pays the T2 warming (see config.spill_hub_mb)
+    hub_lo: Optional[np.ndarray] = None     # int32 [Ch] hub mxgather slabs
+    hub_rel: Optional[np.ndarray] = None    # int32 [Ch, 1, K] offsets
+    ds_h_tlocal: Optional[np.ndarray] = None  # int32 [ceil(C/8)*8, bw]
+    ds_h_lblk: Optional[np.ndarray] = None    # int32 [Ch'] block per chunk
+    ds_h_laneg: Optional[np.ndarray] = None   # int32 [Ch'*bw] hub slots
+    ds_hgroup: int = 0                        # hot-stream merge group
 
     # ---- banded (MXU block-band) path: one entry per band-width bucket ----
     band_h: int = 16                          # superwindow height (rows)
@@ -382,6 +391,12 @@ class ExecutionPlan:
                         d["ts_rel"] = self.ts_rel
                     if self.ts2_ranks is not None:
                         d["ts2_ranks"] = self.ts2_ranks
+                    if self.hub_lo is not None:
+                        d["hub_lo"] = self.hub_lo
+                        d["hub_rel"] = self.hub_rel
+                        d["ds_h_tlocal"] = self.ds_h_tlocal
+                        d["ds_h_lblk"] = self.ds_h_lblk
+                        d["ds_h_laneg"] = self.ds_h_laneg
         for b in range(len(self.bucket_widths)):
             d[f"b{b}_cols"] = self.bucket_cols[b]
             d[f"b{b}_a"] = self.bucket_a[b]
@@ -1626,45 +1641,97 @@ def build_plan(
                     # spans (one-hot cost per full chunk), diffuse ones
                     # large (block-break chunks dominate) — YH picks
                     # (16, 128), RD (8, 256), TT (4, 512).
-                    e_l = len(sp_rows_e)
-
-                    def _lane_cost(gb):
-                        g, bwm = gb
-                        span_l = g * 128
-                        bw_l = bwm * 128
-                        bc = np.bincount(sp_rows_e // span_l)
-                        bc = bc[bc > 0]
-                        chunks_l = int((-(-bc // bw_l)).sum())
-                        oh_ns = 0.0011 * bw_l * span_l
-                        rw_ns = 2 * 32 * span_l * 2 / 819e9 * 1e9
-                        pad_ns = (chunks_l * bw_l - e_l) * 2.0
-                        return (chunks_l * (400.0 + oh_ns)
-                                + len(bc) * rw_ns + pad_ns)
+                    def _lane_cost_rows(rows_l, e_cnt):
+                        def cost(gb):
+                            g, bwm = gb
+                            span_l = g * 128
+                            bw_l = bwm * 128
+                            bc = np.bincount(rows_l // span_l)
+                            bc = bc[bc > 0]
+                            chunks_l = int((-(-bc // bw_l)).sum())
+                            oh_ns = 0.0011 * bw_l * span_l
+                            rw_ns = 2 * 32 * span_l * 2 / 819e9 * 1e9
+                            pad_ns = (chunks_l * bw_l - e_cnt) * 2.0
+                            return (chunks_l * (400.0 + oh_ns)
+                                    + len(bc) * rw_ns + pad_ns)
+                        return cost
 
                     cand_g = [(g, b) for g in (4, 8, 16, 32)
                               if mp % (g * 128) == 0
                               for b in (1, 2, 4, 8)]
-                    lg_grp, lg_bwm = (min(cand_g, key=_lane_cost)
-                                      if cand_g
-                                      else (_pgl(mp, max_group=32), 1))
-                    lg_g, lg_l, lg_b, lg_grp = _bb(
-                        sp_rows_e, sp_cols_e, mp, pad_col=c, group=lg_grp,
-                        chunk_edges=lg_bwm * 128)
+
+                    def _build_lane_stream(rows_l, cols_l):
+                        """(g, bw) choice + block-wide chunking for one
+                        edge stream; returns (gcols int64, local int32
+                        [lpad, bw], blk, group)."""
+                        grp, bwm = (min(cand_g, key=_lane_cost_rows(
+                            rows_l, len(rows_l))) if cand_g
+                            else (_pgl(mp, max_group=32), 1))
+                        g_, l_, b_, grp = _bb(
+                            rows_l, cols_l, mp, pad_col=c, group=grp,
+                            chunk_edges=bwm * 128)
+                        return g_.astype(np.int64), l_.astype(np.int32), \
+                            b_, grp
+
+                    # ---- hub split (round 5): the spill gather cache is
+                    # ~16-24 MB and warms only via misses, so the
+                    # duplicated segment tables (T2 below) pay ~68 us/MB
+                    # per pass.  When the top hub columns cover >= 40% of
+                    # the spill edges, they run as their OWN chunk stream
+                    # against a cache-resident hub table (hot for its
+                    # whole pass); only the cold remainder pays T2.
+                    lane_tbl_mb = mp * 32 * el_b / 1e6
+                    t1_would = (config.ts_table_mb > 0
+                                and lane_tbl_mb > config.ts_table_mb
+                                and mp >= config.ts_span)
+                    cap_slots_cfg = int(config.ts2_table_mb * 1e6
+                                        / (32 * el_b))
+                    sp_rows_l, sp_cols_l = sp_rows_e, sp_cols_e
+                    hub_cols = None
+                    if (t1_would and config.ts2_table_mb > 0
+                            and config.spill_hub_mb > 0):
+                        k_hub = int(config.spill_hub_mb * 1e6
+                                    / (32 * el_b))
+                        cnt = np.bincount(sp_cols_e)
+                        u_all = int((cnt > 0).sum())
+                        if u_all > 3 * cap_slots_cfg and k_hub < u_all:
+                            top = np.argsort(cnt)[::-1][:k_hub]
+                            cov = float(cnt[top].sum()) / len(sp_cols_e)
+                            if cov >= config.spill_hub_min_cov:
+                                hub_cols = np.sort(
+                                    top[cnt[top] > 0]).astype(np.int64)
+                                hot = np.isin(sp_cols_e, hub_cols)
+                                hg, hl, hb, hgrp = _build_lane_stream(
+                                    sp_rows_e[hot], sp_cols_e[hot])
+                                from hcspmm_tpu.kernels.tspill import \
+                                    build_mx_chunks as _bmx
+                                h_lo, h_rel, h_slot = _bmx(
+                                    hub_cols, config.ts_span,
+                                    config.ts_k, mp)
+                                # pad slots repeat a real hub col ->
+                                # always found by searchsorted
+                                hgi = h_slot[np.searchsorted(hub_cols,
+                                                             hg)]
+                                lane_fields.update(
+                                    hub_lo=h_lo, hub_rel=h_rel,
+                                    ds_h_tlocal=hl, ds_h_lblk=hb,
+                                    ds_h_laneg=hgi.astype(np.int32),
+                                    ds_hgroup=hgrp)
+                                sp_rows_l = sp_rows_e[~hot]
+                                sp_cols_l = sp_cols_e[~hot]
+
+                    lg_g, lg_l, lg_b, lg_grp = _build_lane_stream(
+                        sp_rows_l, sp_cols_l)
                     cl = len(lg_b)  # real chunk count (lg_l is 8-padded)
-                    lane_fields["ds_tlocal"] = lg_l.astype(np.int32)
+                    lane_fields["ds_tlocal"] = lg_l
                     lane_fields["ds_lblk"] = lg_b
                     lane_fields["ds_lgroup"] = lg_grp
-                    g_lane = lg_g.astype(np.int64)
+                    g_lane = lg_g
                     # past the lane-table wall a compact table is built
                     # by mxgather and every per-edge gather hits it at
-                    # the small-table rate ([32, 1.75M] = 112 MB direct
-                    # lane take measured ~15 ns/col vs ~1.9 from compact;
-                    # tools/probe_tspill.py).  Estimate with the dim-32
-                    # transposed table.
-                    lane_tbl_mb = mp * 32 * el_b / 1e6
-                    if (config.ts_table_mb > 0
-                            and lane_tbl_mb > config.ts_table_mb
-                            and mp >= config.ts_span):
+                    # the small-table rate; cold-stream edges only when
+                    # the hub split is active
+                    if t1_would:
                         from hcspmm_tpu.kernels.tspill import \
                             build_mx_chunks
 
@@ -1679,9 +1746,8 @@ def build_plan(
                         # (probe_loctake_r5) — build destination-segment
                         # tables so every take hits a sub-wall table
                         t1_slots = len(ts_lo) * config.ts_k
-                        cap_slots = int(config.ts2_table_mb * 1e6
-                                        / (32 * el_b))
-                        bw_l = lg_bwm * 128
+                        cap_slots = cap_slots_cfg
+                        bw_l = lg_l.shape[1]
                         if (config.ts2_table_mb > 0
                                 and t1_slots > cap_slots):
                             segs2, pieces2, ranks2, laneg2 = \

@@ -363,6 +363,17 @@ def _tband_apply_spill(buf, arrs, xt, plan):
                                                segmented_gather,
                                                tbstream_merge)
 
+        if "hub_lo" in arrs:
+            # round-5 hub split: the hot (hub-column) edges merge FIRST
+            # from a cache-resident hub table — built once by mxgather
+            # and hot for its entire chunk stream, so none of these
+            # edges pay the cold path's segment-table warming
+            h = mxgather_lanes(xt, arrs["hub_lo"], arrs["hub_rel"],
+                               span=plan.ts_span)
+            gh = jnp.take(h, arrs["ds_h_laneg"], axis=1)
+            buf = tbstream_merge(gh, arrs["ds_h_tlocal"],
+                                 arrs["ds_h_lblk"], buf,
+                                 group=plan.ds_hgroup)
         if "ts_lo" in arrs:
             src = mxgather_lanes(xt, arrs["ts_lo"], arrs["ts_rel"],
                                  span=plan.ts_span)

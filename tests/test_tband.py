@@ -94,6 +94,27 @@ def test_tband_spill_segmented_gather_matches_oracle():
     assert err < 1e-5, f"rel err {err}"
 
 
+def test_tband_spill_hub_split_matches_oracle():
+    """Round-5 hub split: tiny caps + a tiny hub force hot/cold chunk
+    streams on a small graph; the two-merge chain must match the
+    oracle."""
+    rp, ci, nn = small_graph(1400, 9, span=1300)
+    cfg = _cfg(band_widths=(128,), band_mode="auto",
+               ts_table_mb=1e-3, ts_span=256, ts_k=32,
+               ts2_table_mb=48 * 64 / 1e6,
+               spill_hub_mb=64 * 64 / 1e6,  # 64-slot hub
+               spill_hub_min_cov=0.01)
+    op = HybridSpMM(rp, ci, nn, cfg)
+    assert op.plan.spill_nnz > 0
+    assert op.plan.hub_lo is not None, "hub stream must trigger"
+    assert op.plan.ds_h_laneg is not None
+    x = np.random.RandomState(4).randn(nn, 16).astype(np.float32)
+    z = np.asarray(jax.jit(op)(jnp.asarray(x)))
+    zref = spmm_reference_dense(rp, ci, nn, x)
+    err = np.abs(z - zref).max() / (np.abs(zref).max() + 1e-9)
+    assert err < 1e-5, f"rel err {err}"
+
+
 def test_tband_multi_bucket_and_missing_supers():
     # two-width ladder + partial cover (dropped supers ride the spill)
     rp, ci, nn = small_graph(700, 10, span=500)
