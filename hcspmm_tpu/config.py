@@ -218,6 +218,12 @@ class PlanConfig:
     # GH 68% / RD 53% / TT 42% of spill edges.  0 disables.
     spill_hub_mb: float = 16.0
     spill_hub_min_cov: float = 0.40
+    # ...and only when spill columns are genuinely reused: measured at a
+    # 16 MB hub, GH (reuse 2.9) ran 24.2 -> 17.0 ms and TT (3.3)
+    # 98 -> 82.5, but RD (reuse 1.98, cov 0.53) REGRESSED 34 -> 37 —
+    # low-reuse hubs save too little T2 warming to repay the hub build
+    # and the extra chunk fragmentation.
+    spill_hub_min_reuse: float = 2.5
     # Band-block compute wall: int8->bf16 convert + MXU dot seconds per
     # A ELEMENT (v5e measured: DD's 214M-element band ~450 us compute-
     # bound, docs/ROADMAP.md) — prices wide low-occupancy bands.

@@ -1694,7 +1694,10 @@ def build_plan(
                                     / (32 * el_b))
                         cnt = np.bincount(sp_cols_e)
                         u_all = int((cnt > 0).sum())
-                        if u_all > 3 * cap_slots_cfg and k_hub < u_all:
+                        reuse = len(sp_cols_e) / max(u_all, 1)
+                        if (u_all > 3 * cap_slots_cfg and k_hub < u_all
+                                and reuse
+                                >= config.spill_hub_min_reuse):
                             top = np.argsort(cnt)[::-1][:k_hub]
                             cov = float(cnt[top].sum()) / len(sp_cols_e)
                             if cov >= config.spill_hub_min_cov:

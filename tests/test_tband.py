@@ -103,7 +103,7 @@ def test_tband_spill_hub_split_matches_oracle():
                ts_table_mb=1e-3, ts_span=256, ts_k=32,
                ts2_table_mb=48 * 64 / 1e6,
                spill_hub_mb=64 * 64 / 1e6,  # 64-slot hub
-               spill_hub_min_cov=0.01)
+               spill_hub_min_cov=0.01, spill_hub_min_reuse=0.0)
     op = HybridSpMM(rp, ci, nn, cfg)
     assert op.plan.spill_nnz > 0
     assert op.plan.hub_lo is not None, "hub stream must trigger"
