@@ -217,7 +217,7 @@ class PlanConfig:
     # segment-table (T2) warming.  Measured coverage at a 16 MB hub:
     # GH 68% / RD 53% / TT 42% of spill edges.  0 disables.
     spill_hub_mb: float = 16.0
-    spill_hub_min_cov: float = 0.40
+    spill_hub_min_cov: float = 0.30
     # ...and only when spill columns are genuinely reused: measured at a
     # 16 MB hub, GH (reuse 2.9) ran 24.2 -> 17.0 ms and TT (3.3)
     # 98 -> 82.5, but RD (reuse 1.98, cov 0.53) REGRESSED 34 -> 37 —
