@@ -1527,12 +1527,31 @@ def build_plan(
                         n_rng_m = 1
                 chunks_t_eff = (int(chunks_t * 1.3) if n_rng_m > 1
                                 else chunks_t)
-                cost_tile = (chunks_t_eff * 128 * g_s + chunks_t * dot_s
+                # per-chunk step constants refit round 5 on measured
+                # tile/block/take triples (artifacts/ab_kind_r5.jsonl:
+                # GH@1.0 wide tile 56.8 / block 39.3 / take 49.3 ms, AZ
+                # tile 4.96 / block 6.67 / take 19.1, PT wash; plus DD
+                # tile 1.36 < block 1.56 and RD/TT/YS block wins, r3/r4).
+                # The old dot_s*G term priced a block chunk's one-hot dot
+                # as G tile dots (224 ns at G=8) and flipped GH block ->
+                # tile (28.6 -> 56.7 ms regression, VERDICT r4 #2); the
+                # measured reality is a near-flat per-chunk step cost —
+                # the kind choice is carried by CHUNK COUNTS (gather
+                # fill), not MXU work.
+                # per-chunk: a ~200 ns step floor, plus the one-hot
+                # build (~18 ns per 128x128 tile of it — the block form
+                # builds G tiles); per-destination-region accumulator
+                # R/W at stream bandwidth ([128, dp] per touched tile
+                # for tile-pure, [G*128, dp] per block for block-wide).
+                tile_step_s = 200e-9
+                block_step_s = 200e-9 + _g * 18e-9
+                tile_rw = 2 * 128 * dnom * xbytes / bw_s
+                cost_tile = (chunks_t_eff * 128 * g_s
+                             + chunks_t * tile_step_s
                              + (-(-chunks_t // _g)) * floor_s
-                             + len(blk_cnt) * blk_rw + compact_fixed)
+                             + tiles_u * tile_rw + compact_fixed)
                 cost_block = (chunks_b * 128 * g_s
-                              + chunks_b * dot_s * _g
-                              + chunks_b * floor_s
+                              + chunks_b * block_step_s
                               + len(blk_cnt) * blk_rw + compact_fixed) \
                     if _g > 1 else np.inf
                 # take path: exact-count gather + XLA segsum + scatter
