@@ -270,7 +270,8 @@ def main() -> int:
                 "dtype": dtype,
                 "mode": mode,
                 "layout": layout,
-                "band_impl": ("tiled" if getattr(plan, "tiled", False)
+                "band_impl": ("tband" if getattr(plan, "tband", False)
+                              else "tiled" if getattr(plan, "tiled", False)
                               else "wide"),
                 "spill_impl": ("dstream"
                                if getattr(plan, "ds_blk", None) is not None
