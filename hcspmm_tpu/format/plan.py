@@ -1504,7 +1504,6 @@ def build_plan(
                 g_s = (4e-9 if (compact_ok
                                 or _tbl_mb <= config.ds_table_mb)
                        else 8e-9)
-                dot_s = 128 * 128 * 128 * 2 / 150e12  # [128,128]@[128,dp]
                 floor_s = 0.15e-6
                 blk_rw = 2 * _g * 128 * dnom * xbytes / bw_s
                 # tile-pure chunks in the blocked-gather regime split
