@@ -271,66 +271,86 @@ def build_mx_chunks(ucols: np.ndarray, span: int, k: int, m: int):
             np.stack(rels)[:, None, :].astype(np.int32), slot)
 
 
+_MX_NB = 4  # chunks per grid step (round 5): the ~400 ns per-grid-step
+#   fixed cost was the T1/hub build wall on span-limited populations
+#   (YH ~1.25 ms for 166k unique cols); batching NB slab DMAs + one-hot
+#   dots per step divides it
+
+
 def mxgather_lanes(xt, lo, rel, *, span: int):
     """Compact table [dt, C*k]: column c*k+j = xt[:, lo[c]+rel[c,j]]
     (zeros where rel = -1).  Deep-pipelined slab DMA + iota one-hot MXU
-    dot per chunk — turns the unsorted big-table gather (~15 ns/col at
-    112 MB) into streaming slab reads + matmuls (~12 ns/col at uniform
-    spread, and the compact result then serves every per-edge gather at
-    the ~1.9 ns small-table rate)."""
+    dot, ``_MX_NB`` chunks per grid step — turns the unsorted big-table
+    gather (~15 ns/col at 112 MB) into streaming slab reads + matmuls,
+    and the compact result then serves every per-edge gather at the
+    small-table rate."""
     c = lo.shape[0]
     k = rel.shape[2]
     dt, m = xt.shape
     L = _MX_SLOTS
+    NB = _MX_NB
+    # pad chunk count to a multiple of NB (repeat-last slab; all-pad rel
+    # rows emit zero columns into trailing output slots nothing indexes)
+    cp = -(-c // NB) * NB
+    if cp != c:
+        lo = jnp.concatenate([lo, jnp.broadcast_to(lo[-1:], (cp - c,))])
+        rel = jnp.concatenate(
+            [rel, jnp.full((cp - c, 1, k), -1, rel.dtype)])
+    steps = cp // NB
 
     def kern(lo_ref, rel_ref, x_hbm, out_ref, slabs, sems):
         i = pl.program_id(0)
         s = pl.num_programs(0)
         la = L - 1
 
-        def dma(j, slot):
-            base = pl.multiple_of(lo_ref[j], 128)
+        def dma(j, b, slot):
+            base = pl.multiple_of(lo_ref[j * NB + b], 128)
             return pltpu.make_async_copy(
-                x_hbm.at[:, pl.ds(base, span)], slabs.at[slot],
-                sems.at[slot])
+                x_hbm.at[:, pl.ds(base, span)], slabs.at[slot, b],
+                sems.at[slot, b])
 
         @pl.when(i == 0)
         def _():
             for j in range(la):
                 @pl.when(j < s)
                 def _():
-                    dma(j, j).start()
+                    for b in range(NB):
+                        dma(j, b, j).start()
 
         @pl.when(i + la < s)
         def _():
-            dma(i + la, (i + la) % L).start()
+            for b in range(NB):
+                dma(i + la, b, (i + la) % L).start()
 
-        dma(i, i % L).wait()
         iota = jax.lax.broadcasted_iota(jnp.int32, (span, k), 0)
-        oh = (iota == rel_ref[0, 0][None, :]).astype(xt.dtype)
-        out_ref[...] = jnp.dot(
-            slabs[i % L], oh,
-            preferred_element_type=jnp.float32,
-        ).astype(out_ref.dtype)
+        for b in range(NB):
+            dma(i, b, i % L).wait()
+            oh = (iota == rel_ref[b, 0][None, :]).astype(xt.dtype)
+            out_ref[:, b * k:(b + 1) * k] = jnp.dot(
+                slabs[i % L, b], oh,
+                preferred_element_type=jnp.float32,
+            ).astype(out_ref.dtype)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(c,),
+        grid=(steps,),
         in_specs=[
-            pl.BlockSpec((1, 1, k), lambda i, lo_: (i, 0, 0),
+            pl.BlockSpec((NB, 1, k), lambda i, lo_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((dt, k), lambda i, lo_: (0, i),
+        out_specs=pl.BlockSpec((dt, NB * k), lambda i, lo_: (0, i),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((L, dt, span), xt.dtype),
-            pltpu.SemaphoreType.DMA((L,)),
+            pltpu.VMEM((L, NB, dt, span), xt.dtype),
+            pltpu.SemaphoreType.DMA((L, NB)),
         ],
     )
+    # returned width is ceil(C/NB)*NB*k — trailing pad slots are exact
+    # zeros nothing indexes (slicing them off would cost a relayout copy)
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((dt, c * k), xt.dtype),
+        out_shape=jax.ShapeDtypeStruct((dt, cp * k), xt.dtype),
         interpret=_interpret(),
     )(lo, rel, xt)
