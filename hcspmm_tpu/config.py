@@ -199,8 +199,12 @@ class PlanConfig:
     # (probe: [32, 1.75M] = 112 MB direct lane take ~15 ns/col vs
     # ~1.9 ns from a compact table; tools/probe_tspill.py).
     ts_table_mb: float = 48.0
-    ts_span: int = 1024   # mxgather slab width (lanes)
-    ts_k: int = 128       # mxgather cols per chunk
+    ts_span: int = 2048   # mxgather slab width (lanes; round-5 sweep:
+    #   the kernel is strided-DMA-bound — dt descriptors per slab — so
+    #   fewer, wider chunks win: YH-like 3.39 -> 2.46 ns/ucol at 2048,
+    #   TT-like best at (2048, k=256); tools/sweep_mx.py)
+    ts_k: int = 128       # mxgather cols per chunk (the plan doubles it
+    #   on dense request populations — see format.plan _mx_k)
     # Round-5 segmented second level: when the mxgather T1 table itself
     # exceeds the hard lane-gather wall (measured ~2.2 ns/idx below
     # ~17 MB vs ~13.3 ns above ~67 MB irrespective of access locality —

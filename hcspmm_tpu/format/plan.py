@@ -630,6 +630,17 @@ def _build_tiled_pairs(num_sw, bh, min_col, max_col, nonempty,
     )
 
 
+def _mx_k(config, n_req: int, mp: int) -> int:
+    """mxgather cols-per-chunk: double the base k on dense request
+    populations (requests per span window > base k), where chunk count
+    is k-limited and the strided slab DMA descriptors dominate
+    (tools/sweep_mx.py: TT-like best at (2048, 256))."""
+    k = int(config.ts_k)
+    if mp and n_req * config.ts_span / mp > 2 * k:
+        return 2 * k
+    return k
+
+
 def _build_ts2_segments(cols2d: np.ndarray, uc_all: np.ndarray,
                         slot_all: np.ndarray, t1_slots: int,
                         cap_slots: int, piece_slots: int):
@@ -1728,7 +1739,8 @@ def build_plan(
                                     build_mx_chunks as _bmx
                                 h_lo, h_rel, h_slot = _bmx(
                                     hub_cols, config.ts_span,
-                                    config.ts_k, mp)
+                                    _mx_k(config, len(hub_cols), mp),
+                                    mp)
                                 # pad slots repeat a real hub col ->
                                 # always found by searchsorted
                                 hgi = h_slot[np.searchsorted(hub_cols,
@@ -1758,7 +1770,8 @@ def build_plan(
 
                         uc_l = np.unique(g_lane)
                         ts_lo, ts_rel, ts_slot = build_mx_chunks(
-                            uc_l, config.ts_span, config.ts_k, mp)
+                            uc_l, config.ts_span,
+                            _mx_k(config, len(uc_l), mp), mp)
                         lane_fields.update(ts_lo=ts_lo, ts_rel=ts_rel,
                                            ts_span=config.ts_span)
                         # round-5 segmented second level: when T1 itself
@@ -1766,7 +1779,7 @@ def build_plan(
                         # from it run ~13 ns regardless of locality
                         # (probe_loctake_r5) — build destination-segment
                         # tables so every take hits a sub-wall table
-                        t1_slots = len(ts_lo) * config.ts_k
+                        t1_slots = len(ts_lo) * ts_rel.shape[2]
                         cap_slots = cap_slots_cfg
                         bw_l = lg_l.shape[1]
                         if (config.ts2_table_mb > 0
