@@ -147,24 +147,32 @@ def main() -> int:
             xe.astype(jnp.float32), g_seg, num_segments=m_rows + 1,
             indices_are_sorted=g_sorted)[:m_rows]
 
-    # column-streamed MXU gather (kernels/colstream.py): real edges only
+    # column-streamed MXU gather: PRUNED in round 5 (measured slower
+    # than take in every config); the variants below are skipped when
+    # the module is absent.  Historical records: docs/ROADMAP.md r2-3.
     # (the plan arrays are capacity-padded at the tail)
-    from hcspmm_tpu.kernels.colstream import build_colstream, colstream_gather
+    try:
+        from hcspmm_tpu.kernels.colstream import (build_colstream,
+                                                  colstream_gather)
+        has_cs = True
+    except ImportError:
+        has_cs = False
 
-    nreal = plan.spill_nnz
-    rows_g = np.where(segs[:nreal] < nrow, sr[np.minimum(segs[:nreal],
-                                                         nrow - 1)], m_rows)
-    tb, cl, rf = build_colstream(cols[:nreal], rows_g, group=8)
-    tbv, clv = jnp.asarray(tb), jnp.asarray(cl)
-    rfv = jnp.asarray(rf)
+    if has_cs:
+        nreal = plan.spill_nnz
+        rows_g = np.where(segs[:nreal] < nrow,
+                          sr[np.minimum(segs[:nreal], nrow - 1)], m_rows)
+        tb, cl, rf = build_colstream(cols[:nreal], rows_g, group=8)
+        tbv, clv = jnp.asarray(tb), jnp.asarray(cl)
+        rfv = jnp.asarray(rf)
 
-    def colstream_only(x):
-        return colstream_gather(tbv, clv, x, group=8)[:128]
+        def colstream_only(x):
+            return colstream_gather(tbv, clv, x, group=8)[:128]
 
-    def colstream_scatter(x):
-        g = colstream_gather(tbv, clv, x, group=8)
-        buf = jnp.zeros((m_rows, x.shape[1]), jnp.float32)
-        return buf.at[rfv].add(g, mode="drop")
+        def colstream_scatter(x):
+            g = colstream_gather(tbv, clv, x, group=8)
+            buf = jnp.zeros((m_rows, x.shape[1]), jnp.float32)
+            return buf.at[rfv].add(g, mode="drop")
 
     variants = {
         "take_f32": take_f32,
@@ -174,8 +182,8 @@ def main() -> int:
         "dedup": dedup,
         "scatter_rows": scatter_rows,
         "segsum_global": segsum_global,
-        "colstream_only": colstream_only,
-        "colstream_scatter": colstream_scatter,
+        **({"colstream_only": colstream_only,
+            "colstream_scatter": colstream_scatter} if has_cs else {}),
     }
     base = {
         "nnz_spill": ne, "unique_cols": len(uniq), "rows": nrow,

@@ -253,7 +253,11 @@ def main() -> int:
             2_000_000, 2_000_000 * 512)
 
     # ---- I: column-streamed MXU gather kernel (kernels/colstream.py) ----
-    from hcspmm_tpu.kernels.colstream import build_colstream, colstream_gather
+    try:
+        from hcspmm_tpu.kernels.colstream import (build_colstream,
+                                                  colstream_gather)
+    except ImportError:  # pruned round 5 (records in docs/ROADMAP.md)
+        return 0
 
     for en, name in ((2_000_000, "2m"), (250_000, "250k")):
         cols_cs = rng.randint(0, NH, size=en)

@@ -25,13 +25,10 @@ run_bench() {  # label, env...
 run_bench dd_default HCSPMM_BENCH_K=20
 run_bench dd_w640 HCSPMM_BENCH_BAND_WIDTHS=640
 
-# 1b. fetch-once X ring kernel (kernels/ring_band.py) vs wide, DD headline
-run_bench dd_ring HCSPMM_BENCH_K=20 HCSPMM_BENCH_BAND_IMPL=ring
+# (1b. the fetch-once X ring config was pruned in round 5)
 
 # 2. dim-32 (reference Table XVI shape): plain + folded layout (VERDICT #2)
 run_bench dd_dim32 HCSPMM_BENCH_DIM=32
-run_bench dd_dim32_fold4 HCSPMM_BENCH_DIM=32 HCSPMM_BENCH_FOLD=4
-run_bench dd_dim32_ring HCSPMM_BENCH_DIM=32 HCSPMM_BENCH_BAND_IMPL=ring
 
 # 3. power-law regime (VERDICT #1): adversarial Chung-Lu + Table II stand-ins
 run_bench powerlaw_cluster HCSPMM_BENCH_GRAPH=powerlaw HCSPMM_BENCH_REORDER=cluster

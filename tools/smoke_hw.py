@@ -35,16 +35,10 @@ def graph(n=4000, deg=6, span=60, seed=0):
 CONFIGS = {
     # band wide kernel (production default)
     "wide": (dict(), dict(impl="pallas", band_mode="always", band_h=256)),
-    # narrow-dim folded layout, the Table XVI dim-32 shape
-    "fold4": (dict(dim=32),
-              dict(impl="pallas", band_mode="always", band_h=256,
-                   band_fold=4)),
-    "fold2_dim64": (dict(dim=64),
-                    dict(impl="pallas", band_mode="always", band_h=256,
-                         band_fold=2)),
-    # fetch-once X ring
-    "ring": (dict(), dict(impl="pallas", band_mode="always", band_h=256,
-                          band_impl="ring")),
+    # (the folded-layout configs were pruned in round 5 with the
+    # band_fold feature; tband is the narrow-dim path — see "tband")
+    # (the fetch-once X ring config was pruned in round 5 with its
+    # kernel; record in docs/ROADMAP.md round 3)
     # dst-streamed spill merge (long-range edges force spill)
     "dstream": (dict(span=3000, deg=10),
                 dict(impl="pallas", band_mode="always", band_h=256,
@@ -62,9 +56,6 @@ def run(name) -> bool:
     rp, ci, nn = graph(**gkw)
     try:
         op = HybridSpMM(rp, ci, nn, PlanConfig(**ckw))
-        if name == "ring":
-            assert any(r is not None
-                       for r in getattr(op.plan, "band_ring", [])), "no ring"
         if name == "dstream":
             assert getattr(op.plan, "ds_blk", None) is not None, \
                 "plan lacks dstream arrays"
