@@ -35,8 +35,11 @@ def graph(n=4000, deg=6, span=60, seed=0):
 CONFIGS = {
     # band wide kernel (production default)
     "wide": (dict(), dict(impl="pallas", band_mode="always", band_h=256)),
-    # (the folded-layout configs were pruned in round 5 with the
-    # band_fold feature; tband is the narrow-dim path — see "tband")
+    # transposed band — the narrow-dim fast path (replaced the pruned
+    # folded layout)
+    "tband": (dict(dim=32),
+              dict(impl="pallas", band_mode="always", band_h=256,
+                   band_impl="tband")),
     # (the fetch-once X ring config was pruned in round 5 with its
     # kernel; record in docs/ROADMAP.md round 3)
     # dst-streamed spill merge (long-range edges force spill)
