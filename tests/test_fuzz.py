@@ -60,3 +60,38 @@ def test_fuzz_random_config_matches_oracle(seed):
         zp = np.asarray(op.unpad_output(
             jax.jit(lambda a, v: op.apply_padded(a, v))(op.arrays, xp), dim))
         assert np.abs(zp - zref).max() / scale < 5e-4
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_tband_spill_chain_tiny_caps(seed):
+    """Round-5 spill chain fuzz: random power-law graphs under FORCED
+    tiny caps so the mxgather T1 + segmented T2 + hub-split machinery
+    all trigger at toy scale, vs the dense oracle (interpret mode)."""
+    rng = np.random.RandomState(100 + seed)
+    n = int(rng.randint(600, 1800))
+    src, dst, nn = io.synthetic_graph(
+        n, float(rng.uniform(4, 10)), seed=seed,
+        span=int(rng.randint(300, max(301, n))))
+    rp, ci = io.to_csr(src, dst, nn)
+    cap_slots = int(rng.choice([32, 48, 96]))
+    hub_slots = int(rng.choice([0, 32, 64]))
+    cfg = PlanConfig(
+        impl="pallas", band_impl="tband", band_mode="auto",
+        band_h=128, band_widths=(128,),
+        ts_table_mb=1e-3, ts_span=256, ts_k=int(rng.choice([16, 32])),
+        ts2_table_mb=cap_slots * 64 / 1e6,
+        spill_hub_mb=hub_slots * 64 / 1e6,
+        spill_hub_min_cov=0.01, spill_hub_min_reuse=0.0,
+        compute_dtype="float32",
+    )
+    dim = int(rng.randint(3, 40))
+    x = rng.randn(nn, dim).astype(np.float32)
+    op = HybridSpMM(rp, ci, nn, cfg)
+    assert op.plan.spill_nnz > 0
+    z = np.asarray(jax.jit(op)(x))
+    zref = spmm_reference_dense(rp, ci, nn, x)
+    scale = np.abs(zref).max() + 1e-9
+    err = np.abs(z - zref).max() / scale
+    assert err < 5e-4, (err, cap_slots, hub_slots,
+                        op.plan.hub_lo is not None,
+                        bool(getattr(op.plan, "ts2_segs", None)))
