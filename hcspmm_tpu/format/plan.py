@@ -1705,8 +1705,9 @@ def build_plan(
                     # ---- hub split (round 5): the spill gather cache is
                     # ~16-24 MB and warms only via misses, so the
                     # duplicated segment tables (T2 below) pay ~68 us/MB
-                    # per pass.  When the top hub columns cover >= 40% of
-                    # the spill edges, they run as their OWN chunk stream
+                    # per pass.  When the top hub columns cover enough of
+                    # the spill edges (config.spill_hub_min_cov) at
+                    # enough reuse, they run as their OWN chunk stream
                     # against a cache-resident hub table (hot for its
                     # whole pass); only the cold remainder pays T2.
                     lane_tbl_mb = mp * 32 * el_b / 1e6
