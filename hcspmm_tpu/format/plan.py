@@ -1185,6 +1185,13 @@ def build_plan(
             dense_routed_w = tc_w & (win_bucket_cost < uncov_w * g_ns)
             if config.band_mode == "always":
                 dense_routed_w &= False
+            if tband:
+                # the transposed band path (kernels/tband.py) applies
+                # band + spill ONLY — it has no dense-bucket application
+                # in the [dt, M] layout, so dense-routing a window here
+                # would silently DROP its edges (PT+rcm built such a
+                # plan and lost 9.5k of 162k edges; caught round 5)
+                dense_routed_w &= False
             # Layout-aware routing (round 2): ANY dense-routed window (or
             # dropped super, below) breaks full band cover, which forfeits
             # the closed padded layout — the rows layout re-pads/slices
@@ -2023,6 +2030,18 @@ def build_plan(
         out_perm[srows] = sparse_off + np.arange(rs_real)
 
     dense_nnz = int(wa.edge_counts[dense_mask_w].sum())
+    sparse_real = nnz - dense_nnz - band_nnz \
+        - spill_fields.get("spill_nnz", 0)
+    if tband and (dense_nnz > 0 or sparse_real > 0):
+        # kernels/tband.py applies band + spill only; any dense/ELL/
+        # residual population on a tband plan would be silently dropped
+        # (its edges never reach the output).  The auto routing above
+        # never creates one; reachable only via band_spill='never' with
+        # non-banded windows — tell the user instead of losing edges.
+        raise ValueError(
+            "band_impl='tband' plans carry band+spill populations only "
+            f"(got dense_nnz={dense_nnz}, sparse_nnz={sparse_real}); "
+            "use band_spill='auto' or band_impl='wide'")
     plan = ExecutionPlan(
         num_nodes=n,
         num_cols=c,

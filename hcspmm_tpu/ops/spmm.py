@@ -710,13 +710,26 @@ class HybridSpMM:
     def padded_rows(self) -> int:
         return self.plan.padded_rows
 
+    @property
+    def _padded_transposed(self) -> bool:
+        """True when the padded layout is the tband TRANSPOSED [dt, M]
+        form.  Requires the padded fast path to exist: when a tband plan
+        lacks it (e.g. partial cover with dense/sparse row-merge
+        populations, as PT+rcm builds), ``_padded_core`` falls back to
+        the unpadded op on ``xp[:n]`` — a ROW-layout slice — so
+        ``pad_input`` must emit the row layout too (mixing them fed a
+        [dt, M] array to the [N, d] op and blew up as a square [M, M]
+        pad, parity_r5 PT tband/rcm candidate error)."""
+        return (getattr(self.plan, "tband", False)
+                and self._fn_padded is not None)
+
     def pad_input(self, x: jnp.ndarray) -> jnp.ndarray:
         """[N, D] -> padded [M, dp] in compute dtype (one-time cost; the
         layout then stays closed across ``apply_padded`` chains/layers)."""
         n, d = x.shape
         m = self.plan.padded_rows
         xp = x.astype(_dtype(self.config.compute_dtype))
-        if getattr(self.plan, "tband", False):
+        if self._padded_transposed:
             # transposed padded layout [dt, M] (kernels/tband.py)
             from hcspmm_tpu.kernels.tband import sublane_pad
 
@@ -730,7 +743,7 @@ class HybridSpMM:
                      dtype=None) -> jnp.ndarray:
         """Padded [M, dp] (or transposed [dt, M]) -> [N, d]."""
         n = self.plan.num_nodes
-        if getattr(self.plan, "tband", False):
+        if self._padded_transposed:
             out = (xp[:, :n] if d is None else xp[:d, :n]).T
             return out if dtype is None else out.astype(dtype)
         out = xp[:n] if d is None else xp[:n, :d]
@@ -739,7 +752,7 @@ class HybridSpMM:
     def _inv_lanes(self, inv, xp, fill=1.0):
         """Per-original-row scale vector broadcast into the padded (or
         transposed) activation layout; padded rows get ``fill``."""
-        if getattr(self.plan, "tband", False):
+        if self._padded_transposed:
             invp = jnp.pad(inv, (0, xp.shape[1] - inv.shape[0]),
                            constant_values=fill)
             return invp[None, :]
@@ -752,7 +765,7 @@ class HybridSpMM:
         (models.layers.SAGEConv and the unfused layer paths use this).
         tband layouts have no right-multiply form — use ``dense_padded``
         instead."""
-        if getattr(self.plan, "tband", False):
+        if self._padded_transposed:
             raise ValueError("tband layout: use dense_padded(xp, w), the "
                              "update is W^T @ X^T")
         return _pad_w_lane(w, xp.shape[1], xp.dtype)
@@ -760,7 +773,7 @@ class HybridSpMM:
     def dense_padded(self, xp, w):
         """Dense update ``X W`` in the operator's padded layout: xp @ Wpad
         for row layouts, (pad W)^T @ xt for the transposed layout."""
-        if getattr(self.plan, "tband", False):
+        if self._padded_transposed:
             from hcspmm_tpu.kernels.tband import sublane_pad
 
             ht = sublane_pad(w.shape[1])

@@ -248,3 +248,42 @@ def test_tband_rejects_bad_configs():
         HybridSpMM(rp, ci, nn, _cfg(band_h=96))
     with pytest.raises(ValueError):
         HybridSpMM(rp, ci, nn, _cfg(tband_pack=3))
+
+
+def test_tband_never_routes_windows_dense():
+    """Round-5 regression (parity PT+rcm candidate): spill-mode three-way
+    routing marked some windows dense on a tband plan, but the transposed
+    path applies band + spill ONLY — those windows' edges were silently
+    dropped (0.51 rel err at PT@1.0).  tband plans must carry every
+    non-band edge in the spill population."""
+    rp, ci, nn = small_graph(600, 10, span=500)
+    op = HybridSpMM(rp, ci, nn, _cfg(band_widths=(128,), band_mode="auto",
+                                     loi_mode="calibrated"))
+    assert op.plan.tband
+    assert op.plan.dense_nnz == 0 and op.plan.sparse_nnz == 0
+    assert op.plan.band_nnz + op.plan.spill_nnz == int(rp[-1])
+    x = np.random.RandomState(3).randn(nn, 32).astype(np.float32)
+    z = np.asarray(jax.jit(op)(jnp.asarray(x)))
+    zref = spmm_reference_dense(rp, ci, nn, x)
+    err = np.abs(z - zref).max() / (np.abs(zref).max() + 1e-9)
+    assert err < 1e-5, f"rel err {err}"
+
+
+def test_padded_layout_matches_fallback_support():
+    """Round-5 regression: when a tband op lacks the padded fast path,
+    ``pad_input`` must emit the ROW layout the unpadded fallback consumes
+    (mixing layouts fed [dt, M] to the [N, d] op -> square-pad blow-up)."""
+    rp, ci, nn = small_graph(300, 6)
+    op = HybridSpMM(rp, ci, nn, _cfg())
+    x = np.random.RandomState(5).randn(nn, 16).astype(np.float32)
+    zref = spmm_reference_dense(rp, ci, nn, x)
+
+    # force the fallback: simulate a plan without the padded fast path
+    op._fn_padded = None
+    assert not op.supports_padded and not op._padded_transposed
+    xp = op.pad_input(jnp.asarray(x))
+    assert xp.shape[0] == op.plan.padded_rows, "row layout expected"
+    out = np.asarray(op.unpad_output(
+        op.apply_padded(op.arrays, xp), d=16, dtype=jnp.float32))
+    err = np.abs(out - zref).max() / (np.abs(zref).max() + 1e-9)
+    assert err < 1e-5, f"rel err {err}"
