@@ -103,6 +103,17 @@ def _measure_variant(rp, ci, nn, dim, band_impl, rounds):
         compute_dtype="bfloat16", impl="pallas", band_impl=band_impl,
         loi_mode="calibrated"))
     prep_s = time.perf_counter() - t0
+    # edge-closure guard (round 5): every nnz must be owned by exactly
+    # one population — the tband dense-routing bug dropped edges and
+    # would have recorded a flattering (wrong) time had its candidate
+    # not errored out.  Free host check; fail loud.
+    p = op.plan
+    owned = (p.band_nnz + p.dense_nnz + p.sparse_nnz
+             + getattr(p, "spill_nnz", 0))
+    assert owned == int(rp[-1]), (
+        f"plan drops edges: owned {owned} != nnz {int(rp[-1])} "
+        f"(band {p.band_nnz} dense {p.dense_nnz} sparse {p.sparse_nnz} "
+        f"spill {getattr(p, 'spill_nnz', 0)})")
     x = jnp.asarray(np.random.RandomState(0).randn(nn, dim)
                     .astype(np.float32)).astype(jnp.bfloat16)
 
@@ -122,6 +133,20 @@ def _measure_variant(rp, ci, nn, dim, band_impl, rounds):
     kd = int(min(256, max(8, 4_000_000 // max(nnz, 1))))
     ts = sorted(chained_apply_time(_P(op), xp, k1=2, k2=2 + kd, trials=3)
                 for _ in range(rounds))
+    # device oracle spot-check on small graphs (the single apply_padded
+    # call compiles a second executable, so keep it off the big rows
+    # where that costs tens of tunnel-seconds)
+    if nnz <= 200_000:
+        import scipy.sparse as sp
+
+        out = op.unpad_output(op.apply_padded(op.arrays, xp), d=dim,
+                              dtype=jnp.float32)
+        a = sp.csr_matrix((np.ones(nnz, np.float32), np.asarray(ci),
+                           np.asarray(rp)), shape=(nn, nn))
+        ref = a @ np.asarray(x, np.float32)
+        err = float(np.abs(np.asarray(out) - ref).max()
+                    / max(np.abs(ref).max(), 1e-9))
+        assert err < 3e-2, f"oracle mismatch: rel err {err}"
     return ts, prep_s, op.plan
 
 
